@@ -1,0 +1,102 @@
+import os
+import textwrap
+
+from sd_video_gen_tpu.config import Config, load_config, sweep_grid, parse_config_args
+
+
+def _write_cfg(tmp_path, name="unit_cfg", extra=""):
+    body = textwrap.dedent("""\
+        LR:
+         - 0.00001
+        BATCH_SIZE:
+         - 6
+        EPOCHS:
+         - 3
+        EPOCH_RATIO:
+         - 1
+        NUM_WORKERS:
+         - 0
+        FRAMES_PER_CLIP:
+         - 5
+        FRAMES_TO_PREDICT:
+         - 5
+        STRIDE:
+         - 1
+        FPS:
+         - 3
+        FRAME_SIZE: 128
+        DIM_MODEL:
+         - 2048
+        NUM_HEADS:
+         - 8
+        NUM_ENCODER_LAYERS:
+         - 4
+        NUM_DECODER_LAYERS:
+         - 8
+        DROPOUT_P:
+         - 0.1
+        USE_MSE:
+         - True
+        USE_GDL:
+         - True
+        LAMBDA_GDL:
+         - 1
+        ALPHA:
+         - 1
+        USE_CONTRASTIVE:
+         - True
+        LAMBDA_CONTRASTIVE:
+         - 0.025
+    """) + extra
+    p = tmp_path / (name + ".yml")
+    p.write_text(body)
+    return str(tmp_path)
+
+
+def test_load_reference_schema(tmp_path):
+    d = _write_cfg(tmp_path)
+    cfg = load_config("unit_cfg", d)
+    assert cfg.lr == 1e-5
+    assert cfg.batch_size == 6
+    assert cfg.frame_size == 128
+    assert cfg.dim_model == 2048
+    assert cfg.latent_hw == 16
+    assert cfg.latent_dim == 4 * 16 * 16  # models/transformer.py:37 semantics
+    assert cfg.use_contrastive is True
+    assert cfg.use_l1 is False  # absent key -> default (52 of 60 ref configs)
+
+
+def test_sweep_grid_product(tmp_path):
+    d = _write_cfg(tmp_path, extra="")
+    p = tmp_path / "unit_cfg.yml"
+    p.write_text(p.read_text().replace("LR:\n - 0.00001",
+                                       "LR:\n - 0.00001\n - 0.0001"))
+    grid = sweep_grid("unit_cfg", d)
+    assert len(grid) == 2
+    assert {c.lr for c in grid} == {1e-5, 1e-4}
+
+
+def test_cli_parity(tmp_path):
+    d = _write_cfg(tmp_path)
+    cfg, args = parse_config_args([
+        "--dataset", "ball", "--config", "unit_cfg", "--config_dir", d,
+        "--pred_frames", "10", "--denoise", "True", "--save_best", "False",
+        "--denoise_start_step", "45",
+    ])
+    assert args.dataset == "ball"
+    assert args.pred_frames == 10
+    assert args.denoise is True
+    assert args.save_best is False
+    assert args.denoise_start_step == 45
+    assert cfg.config_name == "unit_cfg"
+
+
+def test_config_immutable(tmp_path):
+    d = _write_cfg(tmp_path)
+    cfg = load_config("unit_cfg", d)
+    try:
+        cfg.lr = 1.0
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
