@@ -1,0 +1,91 @@
+"""Host input pipeline: sampling, batching, background prefetch.
+
+Replaces the reference's torch DataLoader(num_workers=12, RandomSampler with
+num_samples=len*EPOCH_RATIO — trainers/trainer.py:412-421) with a
+thread-prefetched iterator that overlaps PNG/video decode with device compute.
+The device side (normalize/resize/VAE-encode) is NOT done here — it is jitted
+inside the train/predict step so it runs on TPU.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Sequence
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterate (indices_list, frames uint8 (B,T,H,W,3)) batches.
+
+    - ``epoch_ratio`` subsamples each epoch without replacement (reference
+      RandomSampler semantics).
+    - ``drop_last`` keeps batch shapes static for jit (the reference padded
+      nothing and simply got a ragged last batch; static shapes avoid an XLA
+      recompile per epoch tail).
+    - ``prefetch`` decodes ahead on a background thread.
+    """
+
+    def __init__(self, dataset, batch_size: int, epoch_ratio: float = 1.0,
+                 shuffle: bool = True, drop_last: bool = True,
+                 prefetch: int = 2, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.epoch_ratio = epoch_ratio
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def _epoch_order(self) -> np.ndarray:
+        n = len(self.dataset)
+        take = max(1, int(n * self.epoch_ratio))
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        return order[:take]
+
+    def __len__(self) -> int:
+        take = max(1, int(len(self.dataset) * self.epoch_ratio))
+        if self.drop_last:
+            return take // self.batch_size
+        return (take + self.batch_size - 1) // self.batch_size
+
+    def _assemble(self, idxs: Sequence[int]):
+        items = [self.dataset[int(i)] for i in idxs]
+        indices = [it[0] for it in items]
+        frames = np.stack([it[1] for it in items], axis=0)
+        return indices, frames
+
+    def __iter__(self) -> Iterator:
+        order = self._epoch_order()
+        nb = len(self)
+        if nb == 0:
+            return
+        batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+        if not self.drop_last and len(order) > nb * self.batch_size:
+            batches.append(order[nb * self.batch_size:])
+
+        if self.prefetch <= 0:
+            for b in batches:
+                yield self._assemble(b)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    q.put(self._assemble(b))
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+        t.join()

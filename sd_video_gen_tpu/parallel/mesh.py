@@ -1,0 +1,61 @@
+"""Device mesh construction: the framework's distributed backbone.
+
+The reference has no distributed backend at all (SURVEY.md §2.6: dead
+torch.distributed code, multi-node = bash + rsync). Here scale-out is
+first-class: one ``jax.sharding.Mesh`` with named axes
+
+  - ``data``  : batch-parallel axis (DP) — gradients are psum'd by XLA
+  - ``model`` : tensor-parallel axis (TP) — attention heads / FFN hidden
+                sharded; XLA inserts all-reduces on the residual stream
+
+Collectives ride ICI automatically once shardings are annotated; there is
+nothing NCCL-like to manage. Multi-host extends this by calling
+``jax.distributed.initialize()`` before mesh construction (same axis names,
+devices spanning hosts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+AXIS_DATA = "data"
+AXIS_MODEL = "model"
+
+
+def parse_mesh_spec(spec: str | None, n_devices: int | None = None) -> dict[str, int]:
+    """'data=4,model=2' -> {'data': 4, 'model': 2}; None -> all devices on data."""
+    n = n_devices if n_devices is not None else len(jax.devices())
+    if not spec:
+        return {AXIS_DATA: n, AXIS_MODEL: 1}
+    out: dict[str, int] = {}
+    for part in spec.split(","):
+        k, v = part.split("=")
+        out[k.strip()] = int(v)
+    out.setdefault(AXIS_DATA, 1)
+    out.setdefault(AXIS_MODEL, 1)
+    total = out[AXIS_DATA] * out[AXIS_MODEL]
+    if total != n:
+        raise ValueError(f"mesh spec {spec} needs {total} devices, have {n}")
+    return out
+
+
+def default_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """Largest data-parallel mesh whose axis divides the global batch.
+
+    Uses the first g devices where g = gcd(batch_size, n_devices); keeps
+    small-batch CLI runs working on many-device hosts without a mesh flag.
+    """
+    devices = devices if devices is not None else jax.devices()
+    g = int(np.gcd(batch_size, len(devices)))
+    return make_mesh(f"data={g},model=1", devices=devices[:g])
+
+
+def make_mesh(spec: str | None = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    axes = parse_mesh_spec(spec, len(devices))
+    shape = (axes[AXIS_DATA], axes[AXIS_MODEL])
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, (AXIS_DATA, AXIS_MODEL))

@@ -1,0 +1,177 @@
+"""AR prediction CLI: reference-compatible flags, one jitted rollout program.
+
+Reference: prediction/predict.py — per-clip Python loop re-running the full
+model per frame with >=6 host round-trips when denoising. Here: encode ->
+lax.scan rollout (ops/rollout.py) -> decode is one XLA program per clip; only
+uint8 frames cross the host boundary. Variants are flags, not scripts:
+  --train_mode diff   : residual rollout (prediction/predict_diff.py:33 —
+                        each predicted latent += previous frame's latent)
+  --train_mode future : single-shot k-frame (prediction/predict_future.py:156)
+  --naive             : Identity copy-last-frame baseline
+                        (prediction/predict_naive_and_mnist.py)
+  --denoise           : per-step partial-denoise refinement
+                        (prediction/predict.py:145-186), needs SD weights.
+
+Output: outputs/<n>/<i>.png with a red border on predicted frames
+(prediction/predict.py:201-229); --show displays interactively when a GUI is
+available.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from functools import partial
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+
+from sd_video_gen_tpu.codecs import make_codec
+from sd_video_gen_tpu.config import build_arg_parser, load_config
+from sd_video_gen_tpu.models import (FrameTransformer, FrameTransformerConfig,
+                                     IdentityModel)
+from sd_video_gen_tpu.ops.rollout import ar_rollout
+from sd_video_gen_tpu.ops.masks import causal_mask
+from sd_video_gen_tpu.train import checkpoint as ckpt
+from sd_video_gen_tpu.train.trainer import build_dataset, TrainState
+import optax
+
+
+def load_model_params(cfg, args, model, codec, mode_flag: str):
+    """Restore params from <checkpoint_dir>/<config>_<index>_<mode>
+    (prediction/predict.py:51 naming)."""
+    path = ckpt.checkpoint_path(args.checkpoint_dir, args.config, args.index,
+                                mode_flag or args.mode or "test")
+    # Build the abstract TrainState matching what the trainer saved.
+    sample = jnp.zeros((1, cfg.frames_per_clip, cfg.frame_size,
+                        cfg.frame_size, 3), jnp.uint8)
+    latents = codec.encode_batch(sample, use_sos=True)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), latents, latents[:, :-1],
+                           tgt_mask=causal_mask(latents.shape[1] - 1)))
+    abstract = jax.eval_shape(
+        lambda v: TrainState.create(apply_fn=model.apply, params=v,
+                                    tx=optax.adam(cfg.lr)), variables)
+    # orbax needs concrete shardings on the abstract leaves
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    abstract = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sharding),
+        abstract)
+    state = ckpt.restore_checkpoint(path, abstract)
+    return state.params
+
+
+def save_frames(imgs: np.ndarray, is_pred: list[bool], out_root: str = "outputs"):
+    os.makedirs(out_root, exist_ok=True)
+    folder = os.path.join(out_root, str(len(os.listdir(out_root))))
+    os.makedirs(folder, exist_ok=True)
+    for i, img in enumerate(imgs):
+        if is_pred[i]:
+            img = cv2.copyMakeBorder(img, 1, 1, 1, 1, cv2.BORDER_CONSTANT,
+                                     value=[0, 0, 255])
+        cv2.imwrite(os.path.join(folder, f"{i}.png"), img)
+    return folder
+
+
+def show_frames(imgs: np.ndarray, is_pred: list[bool], fullscreen: bool):
+    for i, img in enumerate(imgs):
+        if is_pred[i]:
+            img = cv2.copyMakeBorder(img, 1, 1, 1, 1, cv2.BORDER_CONSTANT,
+                                     value=[0, 0, 255])
+        if fullscreen:
+            cv2.namedWindow("frame", cv2.WND_PROP_FULLSCREEN)
+            cv2.setWindowProperty("frame", cv2.WND_PROP_FULLSCREEN,
+                                  cv2.WINDOW_FULLSCREEN)
+        cv2.imshow("frame", img)
+        cv2.waitKey(0)
+
+
+def make_predict_fn(model, codec, pred_frames: int, window: int,
+                    mode: str = "ar", refine_fn=None):
+    """One jitted program: frames -> (context latents, predicted latents)."""
+
+    def residual_refine(buf_apply):
+        # diff mode handled inside rollout via wrapper below
+        pass
+
+    apply_fn = model.apply
+    if mode == "diff":
+        base_apply = model.apply
+
+        def apply_fn(params, src, tgt, tgt_mask=None, **kw):
+            out = base_apply(params, src, tgt, tgt_mask=tgt_mask, **kw)
+            # residual: predicted next latent = model output + last input frame
+            # (prediction/predict_diff.py:33)
+            return out.at[:, -1].add(tgt[:, -1])
+
+    @jax.jit
+    def predict(params, frames_u8):
+        latents = codec.encode_batch(frames_u8, use_sos=True)
+        if mode == "future":
+            y_in = latents[:, 1:]  # drop SOS; single shot
+            preds = model.apply(params, y_in, y_in, tgt_mask=None)[:, -pred_frames:]
+        else:
+            preds = ar_rollout(apply_fn, params, latents, pred_frames,
+                               window=window, refine_fn=refine_fn)
+        return latents[:, 1:], preds
+
+    return predict
+
+
+def main(argv=None):
+    parser = build_arg_parser()
+    parser.add_argument("--train_mode", type=str, default="ar",
+                        choices=["ar", "future", "diff", "text"])
+    parser.add_argument("--codec", type=str, default="pixel",
+                        choices=["pixel", "vae"])
+    parser.add_argument("--naive", type=lambda s: s.lower() == "true",
+                        default=False, help="Identity copy-last-frame baseline")
+    parser.add_argument("--max_clips", type=int, default=4)
+    args = parser.parse_args(argv)
+    cfg = load_config(args.config, args.config_dir)
+
+    codec = make_codec(cfg, args.codec)
+    if args.naive:
+        model = IdentityModel()
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 2, codec.latent_dim)),
+                            jnp.zeros((1, 2, codec.latent_dim)))
+    else:
+        model = FrameTransformer(FrameTransformerConfig.from_config(
+            cfg, mode="ar" if args.train_mode == "diff" else args.train_mode))
+        params = load_model_params(cfg, args, model, codec, args.mode or "test")
+
+    refine_fn = None
+    if args.denoise:
+        from sd_video_gen_tpu.diffusion.refine import make_denoise_refiner
+        refine_fn = make_denoise_refiner(cfg, args.denoise_start_step)
+
+    predict = make_predict_fn(model, codec, args.pred_frames,
+                              window=cfg.frames_per_clip,
+                              mode=args.train_mode, refine_fn=refine_fn)
+
+    dataset = build_dataset(cfg, args, "test" if args.mode != "train" else "train")
+    n_done = 0
+    for i in range(min(len(dataset), args.max_clips)):
+        indices, frames = dataset[i]
+        frames = jnp.asarray(frames)[None]  # (1, T, H, W, 3)
+        context, preds = predict(params, frames)
+        # sequence layout matching the reference output: context minus last
+        # frame, then predictions (prediction/predict.py:193)
+        all_latents = jnp.concatenate([context[:, :-1], preds], axis=1)
+        is_pred = [False] * (context.shape[1] - 1) + [True] * preds.shape[1]
+        imgs = np.asarray(codec.decode_latents(
+            all_latents.reshape(-1, codec.latent_dim)))
+        if args.save_output:
+            folder = save_frames(imgs, is_pred)
+            print("saved to:", folder)
+        if args.show:
+            show_frames(imgs, is_pred, args.fullscreen)
+        n_done += 1
+    print(f"predicted {args.pred_frames} frames for {n_done} clips")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,327 @@
+"""One Trainer with strategy flags, replacing the reference's five near-clone
+trainer scripts (SURVEY.md §2.2).
+
+Strategy modes (``--train_mode``):
+  - 'ar'     : teacher-forced next-frame AR (trainers/trainer.py:111-190):
+               src = [SOS + frames], tgt = seq[:-1], target = seq[1:], causal
+               mask, loss on the last ``frames_to_predict`` positions.
+  - 'future' : k-step single-shot (trainers/trainer_predict_future.py:121-146):
+               no SOS, y_input = seq[:, :-k], target = seq[:, -k:], no mask.
+  - 'diff'   : residual prediction (trainers/trainer_diff.py:140-142): model
+               output for the last k positions is added to the previous-frame
+               latents before the loss.
+  - 'text'   : class-name conditioning (trainers/trainer_text.py:151-177):
+               per-batch class-id -> text-embedding lookup, on device.
+
+TPU-first design vs the reference hot loop (SURVEY.md §3.1):
+  - frames cross host->device ONCE per step as uint8; normalize + latent
+    encode + forward + loss + Adam update are a single jitted program.
+  - loss components are accumulated on device and fetched once per epoch —
+    no per-step ``.item()`` syncs (the reference did 4+/step).
+  - the step is sharded over a Mesh: batch over 'data', tensor-parallel
+    params over 'model' (parallel/sharding.py); XLA inserts the gradient
+    psums and TP all-reduces.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from sd_video_gen_tpu.codecs import make_codec
+from sd_video_gen_tpu.config import Config, parse_config_args, sweep_grid, build_arg_parser
+from sd_video_gen_tpu.models import FrameTransformer, FrameTransformerConfig
+from sd_video_gen_tpu.models.text_embed import ClassNameEmbedder
+from sd_video_gen_tpu.ops import causal_mask, composite_loss, LossWeights
+from sd_video_gen_tpu.parallel import make_mesh, param_shardings, batch_sharding
+from sd_video_gen_tpu.train import checkpoint as ckpt
+from sd_video_gen_tpu.train.metrics import MetricsLogger
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def _predictions_and_targets(model, params, latents, k, mode, rngs,
+                             text_embeds=None, deterministic=False):
+    """Shared forward logic for train and eval; returns (pred_k, target_k)."""
+    kwargs = {}
+    if text_embeds is not None:
+        kwargs["text_embeds"] = text_embeds
+    if mode == "future":
+        y_in = latents[:, :-k]
+        target = latents[:, -k:]
+        pred = model.apply(params, y_in, y_in, tgt_mask=None,
+                           deterministic=deterministic, rngs=rngs, **kwargs)
+        return pred[:, -k:], target
+    # ar / diff / text share the teacher-forced layout.
+    y_in = latents[:, :-1]
+    y_exp = latents[:, 1:]
+    mask = causal_mask(y_in.shape[1])
+    pred = model.apply(params, latents, y_in, tgt_mask=mask,
+                       deterministic=deterministic, rngs=rngs, **kwargs)
+    pred_k = pred[:, -k:]
+    if mode == "diff":
+        # add previous-frame latents (trainers/trainer_diff.py:140-142)
+        pred_k = pred_k + latents[:, -(k + 1):-1]
+    return pred_k, y_exp[:, -k:]
+
+
+def make_train_step(model, codec, loss_w: LossWeights, cfg: Config,
+                    mode: str = "ar", lr: float | None = None,
+                    tx: optax.GradientTransformation | None = None):
+    """Build (init_fn, step_fn). step_fn: (state, frames_u8, rng[, text]) -> (state, metrics)."""
+    k = cfg.frames_to_predict
+    use_sos = mode != "future"
+    tx = tx or optax.adam(lr if lr is not None else cfg.lr)
+
+    def init_fn(rng, sample_frames, text_embeds=None):
+        latents = codec.encode_batch(jnp.asarray(sample_frames), use_sos=use_sos)
+        if mode == "future":
+            src = latents[:, :-k]
+            variables = model.init(rng, src, src, tgt_mask=None,
+                                   text_embeds=text_embeds)
+        else:
+            y_in = latents[:, :-1]
+            variables = model.init(rng, latents, y_in,
+                                   tgt_mask=causal_mask(y_in.shape[1]),
+                                   text_embeds=text_embeds)
+        return TrainState.create(apply_fn=model.apply, params=variables,
+                                 tx=tx)
+
+    def loss_fn(params, frames, rng, text_embeds):
+        latents = codec.encode_batch(frames, use_sos=use_sos)
+        pred_k, target_k = _predictions_and_targets(
+            model, params, latents, k, mode, rngs={"dropout": rng},
+            text_embeds=text_embeds, deterministic=False)
+        return composite_loss(pred_k, target_k, loss_w)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state, frames, rng, text_embeds=None):
+        rng = jax.random.fold_in(rng, state.step)
+        (_, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, frames, rng, text_embeds)
+        state = state.apply_gradients(grads=grads)
+        return state, comps
+
+    return init_fn, step_fn
+
+
+def make_eval_step(model, codec, loss_w: LossWeights, cfg: Config,
+                   mode: str = "ar"):
+    k = cfg.frames_to_predict
+    use_sos = mode != "future"
+
+    @jax.jit
+    def eval_fn(params, frames, text_embeds=None):
+        latents = codec.encode_batch(frames, use_sos=use_sos)
+        pred_k, target_k = _predictions_and_targets(
+            model, params, latents, k, mode, rngs=None,
+            text_embeds=text_embeds, deterministic=True)
+        _, comps = composite_loss(pred_k, target_k, loss_w)
+        return comps
+
+    return eval_fn
+
+
+class Trainer:
+    """Fit a FrameTransformer on a frame dataset; owns state/ckpt/metrics."""
+
+    def __init__(self, cfg: Config, args=None, mode: str = "ar",
+                 codec_kind: str = "pixel", mesh=None, model_cfg=None,
+                 checkpoint_dir: str = "./checkpoints", run_name=None,
+                 use_wandb: bool = True, num_classes: int = 101,
+                 vae_params=None):
+        self.cfg = cfg
+        self.args = args
+        self.mode = mode
+        if mesh is not None:
+            self.mesh = mesh
+        else:
+            spec = getattr(args, "mesh", None) if args else None
+            if spec:
+                self.mesh = make_mesh(spec)
+            else:
+                from sd_video_gen_tpu.parallel.mesh import default_mesh_for_batch
+                self.mesh = default_mesh_for_batch(cfg.batch_size)
+        self.codec = make_codec(cfg, codec_kind, vae_params=vae_params)
+        mc = model_cfg or FrameTransformerConfig.from_config(
+            cfg, mode=mode if mode in ("future", "learned_tgt", "text") else "ar")
+        self.model = FrameTransformer(mc)
+        self.loss_w = LossWeights.from_config(cfg)
+        self.text_embedder = (ClassNameEmbedder(num_classes, mc.text_embed_dim)
+                              if mode == "text" else None)
+
+        self.checkpoint_dir = checkpoint_dir
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self.index = ckpt.checkpoint_index(checkpoint_dir, cfg.config_name)
+        self.run_name = run_name or f"{cfg.config_name}_{self.index}"
+        debug = bool(getattr(args, "debug", False)) if args else False
+        self.logger = MetricsLogger(self.run_name, use_wandb=use_wandb and not debug,
+                                    quiet=False)
+
+        self._init_fn, self._step_fn = make_train_step(
+            self.model, self.codec, self.loss_w, cfg, mode)
+        self._eval_fn = make_eval_step(self.model, self.codec, self.loss_w,
+                                       cfg, mode)
+        self.state = None
+        self.best_train = float("inf")
+        self.best_val = float("inf")
+
+    # -- state management ---------------------------------------------------
+    def init_state(self, sample_frames, seed: int = 0,
+                   sample_text_embeds=None):
+        self.state = self._init_fn(jax.random.PRNGKey(seed),
+                                   sample_frames, sample_text_embeds)
+        self._shard_state()
+        n = sum(p.size for p in jax.tree.leaves(self.state.params))
+        self.logger.log({"event": "init", "n_params": n})
+        return self.state
+
+    def _shard_state(self):
+        shardings = param_shardings(self.mesh, self.state)
+        self.state = jax.device_put(self.state, shardings)
+
+    def resume(self, old_name: str):
+        path = os.path.abspath(os.path.join(self.checkpoint_dir, old_name))
+        self.state = ckpt.restore_checkpoint(path, ckpt.abstract_like(self.state))
+        self._shard_state()
+
+    # -- loops --------------------------------------------------------------
+    def _texts(self, indices):
+        if self.text_embedder is None:
+            return None
+        labels = jnp.asarray([i[0] if isinstance(i, (list, tuple)) else i
+                              for i in indices], jnp.int32)
+        return self.text_embedder(labels)
+
+    def _put_batch(self, frames):
+        return jax.device_put(jnp.asarray(frames), batch_sharding(self.mesh))
+
+    def train_loop(self, loader, rng):
+        sums, nb = None, 0
+        for indices, frames in loader:
+            batch = self._put_batch(frames)
+            self.state, comps = self._step_fn(self.state, batch, rng,
+                                              self._texts(indices))
+            sums = comps if sums is None else jax.tree.map(jnp.add, sums, comps)
+            nb += 1
+        means = jax.tree.map(lambda s: s / max(nb, 1), sums or {})
+        return {f"{k}_train": float(v) for k, v in means.items()}
+
+    def validation_loop(self, loader):
+        sums, nb = None, 0
+        for indices, frames in loader:
+            batch = self._put_batch(frames)
+            comps = self._eval_fn(self.state.params, batch, self._texts(indices))
+            sums = comps if sums is None else jax.tree.map(jnp.add, sums, comps)
+            nb += 1
+        means = jax.tree.map(lambda s: s / max(nb, 1), sums or {})
+        return {f"{k}_val": float(v) for k, v in means.items()}
+
+    def fit(self, train_loader, val_loader, epochs: int, seed: int = 0,
+            save_best: bool = False):
+        rng = jax.random.PRNGKey(seed)
+        if self.state is None:
+            indices, frames = next(iter(train_loader))
+            self.init_state(frames, seed, self._texts(indices))
+        history = []
+        for epoch in range(1, epochs + 1):
+            train_m = self.train_loop(train_loader, rng)
+            val_m = self.validation_loop(val_loader)
+            metrics = {"epoch": epoch, **train_m, **val_m,
+                       "train_loss": train_m.get("total_train", 0.0),
+                       "val_loss": val_m.get("total_val", 0.0)}
+            self.logger.log(metrics, step=int(self.state.step))
+            history.append(metrics)
+            self._save(metrics, save_best)
+        return history
+
+    def _save(self, metrics, save_best: bool):
+        # save-best on train and val separately, else save-last
+        # (trainers/trainer.py:469-480 semantics).
+        if save_best:
+            if metrics["train_loss"] < self.best_train:
+                self.best_train = metrics["train_loss"]
+                self.save("train")
+            if metrics["val_loss"] < self.best_val:
+                self.best_val = metrics["val_loss"]
+                self.save("test")
+        else:
+            self.save("test")
+
+    def save(self, mode_tag: str):
+        path = ckpt.checkpoint_path(self.checkpoint_dir, self.cfg.config_name,
+                                    self.index, mode_tag)
+        ckpt.save_checkpoint(path, self.state)
+        return path
+
+
+def build_dataset(cfg: Config, args, stage: str):
+    """Dataset dispatch mirroring trainers/trainer.py:372-439."""
+    from sd_video_gen_tpu.data import (BouncingBallDataset, KittiDataset,
+                                       MovingMNISTDataset)
+    name = args.dataset
+    if name == "ball":
+        return BouncingBallDataset(num_frames=cfg.frames_per_clip,
+                                   stride=cfg.stride, dir=args.folder,
+                                   stage=stage, seed=args.seed)
+    if name == "kitti":
+        return KittiDataset(
+            num_frames=cfg.frames_per_clip + cfg.frames_to_predict,
+            stride=1, dir=args.folder, stage=stage,
+            frame_size=cfg.frame_size, seed=args.seed)
+    if name == "mnist":
+        return MovingMNISTDataset(num_frames=cfg.frames_per_clip,
+                                  stride=cfg.stride,
+                                  path=args.folder or "mnist_test_seq.npy",
+                                  stage=stage, seed=args.seed)
+    if "ucf" in name:
+        from sd_video_gen_tpu.data.ucf101 import UCF101Dataset
+        return UCF101Dataset.from_args(cfg, args, stage)
+    raise ValueError(f"unknown dataset {name}")
+
+
+def main(argv=None):
+    parser = build_arg_parser()
+    parser.add_argument("--train_mode", type=str, default="ar",
+                        choices=["ar", "future", "diff", "text"])
+    parser.add_argument("--codec", type=str, default="pixel",
+                        choices=["pixel", "vae"])
+    parser.add_argument("--sweep", action="store_true",
+                        help="run the full YAML grid instead of the first point")
+    args = parser.parse_args(argv)
+
+    from sd_video_gen_tpu.config import load_config
+    from sd_video_gen_tpu.data import BatchLoader
+
+    grid = (sweep_grid(args.config, args.config_dir) if args.sweep
+            else [load_config(args.config, args.config_dir)])
+    for cfg in grid:
+        trainer = Trainer(cfg, args, mode=args.train_mode,
+                          codec_kind=args.codec,
+                          checkpoint_dir=args.checkpoint_dir)
+        train_ds = build_dataset(cfg, args, "train")
+        val_ds = build_dataset(cfg, args, "test")
+        train_loader = BatchLoader(train_ds, cfg.batch_size,
+                                   epoch_ratio=cfg.epoch_ratio, seed=args.seed)
+        val_loader = BatchLoader(val_ds, cfg.batch_size,
+                                 epoch_ratio=cfg.epoch_ratio, seed=args.seed)
+        if args.resume:
+            indices, frames = next(iter(train_loader))
+            trainer.init_state(frames, args.seed, trainer._texts(indices))
+            trainer.resume(args.old_name)
+        trainer.fit(train_loader, val_loader, epochs=cfg.epochs,
+                    seed=args.seed, save_best=args.save_best)
+        trainer.logger.close()
+
+
+if __name__ == "__main__":
+    main()

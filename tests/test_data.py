@@ -1,0 +1,101 @@
+"""Data layer: synthetic tree generation, clip indexing, batch loading, codec."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sd_video_gen_tpu.data import (BouncingBallDataset, BatchLoader,
+                                   generate_bouncing_ball_tree)
+from sd_video_gen_tpu.data.frame_datasets import MovingMNISTDataset
+from sd_video_gen_tpu.codecs import PixelCodec, add_sos, SOS_VALUE
+
+
+def test_synthetic_tree_and_loader(tmp_path):
+    root = generate_bouncing_ball_tree(str(tmp_path), n_train_seqs=3,
+                                       n_test_seqs=1, frames_per_seq=10,
+                                       size=32)
+    ds = BouncingBallDataset(num_frames=5, stride=1, dir=root, stage="train",
+                             shuffle=False)
+    # 3 seqs * 10 frames // 5 per clip = 6 clips
+    assert len(ds) == 6
+    idx, frames = ds[0]
+    assert frames.shape == (5, 32, 32, 3)
+    assert frames.dtype == np.uint8
+    assert len(idx) == 5
+    # clip indices are consecutive within one parent
+    assert idx[1] - idx[0] == 1
+
+
+def test_clips_respect_parent_boundary(tmp_path):
+    root = generate_bouncing_ball_tree(str(tmp_path), n_train_seqs=2,
+                                       n_test_seqs=0, frames_per_seq=7,
+                                       size=32)
+    # 7 frames per seq, clips of 5: frames 5..6 + next seq would cross parents
+    ds = BouncingBallDataset(num_frames=5, stride=1, dir=root, stage="train",
+                             shuffle=False)
+    for idx in ds.indices:
+        parents = {i // 1000 for i in idx}
+        assert len(parents) == 1
+
+
+def test_stride_clip_indexing(tmp_path):
+    root = generate_bouncing_ball_tree(str(tmp_path), n_train_seqs=1,
+                                       n_test_seqs=0, frames_per_seq=10,
+                                       size=32)
+    ds = BouncingBallDataset(num_frames=3, stride=2, dir=root, stage="train",
+                             shuffle=False)
+    idx = ds.indices[0]
+    assert idx[1] - idx[0] == 2 and idx[2] - idx[1] == 2
+
+
+def test_batch_loader_shapes_and_ratio(tmp_path):
+    root = generate_bouncing_ball_tree(str(tmp_path), n_train_seqs=4,
+                                       n_test_seqs=0, frames_per_seq=10,
+                                       size=32)
+    ds = BouncingBallDataset(num_frames=5, stride=1, dir=root, stage="train")
+    loader = BatchLoader(ds, batch_size=2, epoch_ratio=1.0, prefetch=2)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 4  # 8 clips / 2
+    _, frames = batches[0]
+    assert frames.shape == (2, 5, 32, 32, 3)
+    half = BatchLoader(ds, batch_size=2, epoch_ratio=0.5)
+    assert len(list(half)) == 2
+
+
+def test_moving_mnist(tmp_path):
+    arr = np.random.default_rng(0).integers(0, 255, (20, 10, 64, 64),
+                                            dtype=np.uint8)
+    p = tmp_path / "mnist_test_seq.npy"
+    np.save(p, arr)
+    tr = MovingMNISTDataset(num_frames=5, stride=1, path=str(p), stage="train",
+                            shuffle=False)
+    te = MovingMNISTDataset(num_frames=5, stride=1, path=str(p), stage="test",
+                            shuffle=False)
+    assert len(tr) == 8 and len(te) == 2  # 80/20 split
+    ids, frames = tr[0]
+    assert frames.shape == (5, 64, 64, 3)
+    # grayscale stacked to 3 identical channels
+    np.testing.assert_array_equal(frames[..., 0], frames[..., 1])
+
+
+def test_pixel_codec_roundtrip(rng):
+    codec = PixelCodec(frame_size=64)
+    frames = rng.integers(0, 255, (2, 3, 64, 64, 3)).astype(np.uint8)
+    lat = codec.encode_frames(jnp.asarray(frames))
+    assert lat.shape == (2, 3, codec.latent_dim)
+    dec = codec.decode_latents(lat.reshape(-1, codec.latent_dim))
+    assert dec.shape == (6, 64, 64, 3) and dec.dtype == np.uint8
+    # smooth content survives the round trip approximately
+    smooth = np.tile(np.linspace(0, 255, 64, dtype=np.uint8)[None, :, None],
+                     (64, 1, 3))[None, None]
+    sm = np.repeat(np.repeat(smooth, 2, 0), 3, 1)
+    lat2 = codec.encode_frames(jnp.asarray(sm))
+    dec2 = np.asarray(codec.decode_latents(lat2.reshape(-1, codec.latent_dim)))
+    assert np.abs(dec2.astype(int) - sm.reshape(-1, 64, 64, 3).astype(int)).mean() < 10
+
+
+def test_sos_token():
+    lat = jnp.zeros((2, 5, 16))
+    with_sos = add_sos(lat)
+    assert with_sos.shape == (2, 6, 16)
+    np.testing.assert_array_equal(np.asarray(with_sos[:, 0]),
+                                  np.full((2, 16), SOS_VALUE))

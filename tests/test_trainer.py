@@ -1,0 +1,112 @@
+"""End-to-end training smoke: bouncing ball, pixel codec, CPU (SURVEY.md §4d),
+plus train-step semantics for the diff/future strategy modes."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sd_video_gen_tpu.config import Config
+from sd_video_gen_tpu.data import (BouncingBallDataset, BatchLoader,
+                                   generate_bouncing_ball_tree)
+from sd_video_gen_tpu.train.trainer import Trainer, make_train_step
+from sd_video_gen_tpu.codecs import PixelCodec
+from sd_video_gen_tpu.models import FrameTransformer, FrameTransformerConfig
+from sd_video_gen_tpu.ops import LossWeights
+from sd_video_gen_tpu.parallel import make_mesh
+
+
+def _tiny_cfg(**kw):
+    d = dict(config_name="tiny", lr=1e-3, batch_size=2, epochs=2,
+             frames_per_clip=5, frames_to_predict=2, frame_size=32,
+             dim_model=32, num_heads=4, num_encoder_layers=1,
+             num_decoder_layers=1, dropout_p=0.0,
+             use_mse=True, use_gdl=True, lambda_gdl=1.0, alpha=1.0,
+             use_contrastive=False)
+    d.update(kw)
+    return Config(**d)
+
+
+def test_train_e2e_loss_decreases(tmp_path):
+    root = generate_bouncing_ball_tree(str(tmp_path / "data"), n_train_seqs=3,
+                                       n_test_seqs=1, frames_per_seq=10,
+                                       size=32)
+    cfg = _tiny_cfg()
+    mesh = make_mesh("data=1,model=1", devices=jax.devices()[:1])
+    trainer = Trainer(cfg, mode="ar", codec_kind="pixel", mesh=mesh,
+                      checkpoint_dir=str(tmp_path / "ckpt"), use_wandb=False)
+    tr = BatchLoader(BouncingBallDataset(5, 1, root, "train"), 2, seed=1)
+    va = BatchLoader(BouncingBallDataset(5, 1, root, "test"), 2, seed=1)
+    hist = trainer.fit(tr, va, epochs=3, save_best=False)
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+    # checkpoint written with reference naming
+    assert os.path.isdir(tmp_path / "ckpt" / "tiny_0_test")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    root = generate_bouncing_ball_tree(str(tmp_path / "data"), n_train_seqs=2,
+                                       n_test_seqs=1, frames_per_seq=10,
+                                       size=32)
+    cfg = _tiny_cfg()
+    mesh = make_mesh("data=1,model=1", devices=jax.devices()[:1])
+    t1 = Trainer(cfg, mode="ar", mesh=mesh,
+                 checkpoint_dir=str(tmp_path / "ckpt"), use_wandb=False)
+    tr = BatchLoader(BouncingBallDataset(5, 1, root, "train"), 2, seed=1)
+    t1.fit(tr, tr, epochs=1)
+    saved_params = jax.tree.leaves(t1.state.params)
+
+    t2 = Trainer(cfg, mode="ar", mesh=mesh,
+                 checkpoint_dir=str(tmp_path / "ckpt2"), use_wandb=False)
+    _, frames = next(iter(tr))
+    t2.init_state(frames)
+    t2.resume(os.path.join("..", "ckpt", "tiny_0_test"))
+    restored = jax.tree.leaves(t2.state.params)
+    for a, b in zip(saved_params, restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(t2.state.step) == int(t1.state.step)
+
+
+def test_diff_mode_residual_semantics(rng):
+    """diff mode: pred for last k positions gets previous-frame latents added
+    (trainers/trainer_diff.py:140-142)."""
+    cfg = _tiny_cfg()
+    codec = PixelCodec(cfg.frame_size)
+    mc = FrameTransformerConfig(latent_dim=codec.latent_dim, dim_model=32,
+                                num_heads=4, num_encoder_layers=1,
+                                num_decoder_layers=1, dropout_p=0.0)
+    model = FrameTransformer(mc)
+    w = LossWeights(use_mse=True, use_gdl=False, use_contrastive=False)
+    frames = jnp.asarray(
+        rng.integers(0, 255, (2, 5, 32, 32, 3)).astype(np.uint8))
+
+    from sd_video_gen_tpu.train.trainer import _predictions_and_targets
+    latents = codec.encode_batch(frames, use_sos=True)
+    params = model.init(jax.random.PRNGKey(0), latents, latents[:, :-1])
+    k = cfg.frames_to_predict
+    p_ar, t_ar = _predictions_and_targets(model, params, latents, k, "ar",
+                                          None, deterministic=True)
+    p_diff, t_diff = _predictions_and_targets(model, params, latents, k, "diff",
+                                              None, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(t_ar), np.asarray(t_diff))
+    expect = np.asarray(p_ar) + np.asarray(latents[:, -(k + 1):-1])
+    np.testing.assert_allclose(np.asarray(p_diff), expect, rtol=1e-5)
+
+
+def test_future_mode_shapes(rng):
+    cfg = _tiny_cfg(frames_per_clip=4, frames_to_predict=2)
+    codec = PixelCodec(cfg.frame_size)
+    mc = FrameTransformerConfig(latent_dim=codec.latent_dim, dim_model=32,
+                                num_heads=4, num_encoder_layers=1,
+                                num_decoder_layers=1, dropout_p=0.0,
+                                mode="future", frames_to_predict=2)
+    model = FrameTransformer(mc)
+    w = LossWeights(use_mse=True, use_gdl=False, use_contrastive=False)
+    init_fn, step_fn = make_train_step(model, codec, w, cfg, mode="future",
+                                       lr=1e-3)
+    # future mode: clip length = frames_per_clip + frames_to_predict, no SOS
+    frames = jnp.asarray(
+        rng.integers(0, 255, (2, 6, 32, 32, 3)).astype(np.uint8))
+    state = init_fn(jax.random.PRNGKey(0), frames)
+    state, comps = step_fn(state, frames, jax.random.PRNGKey(1))
+    assert np.isfinite(float(comps["total"]))
