@@ -204,6 +204,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--denoise_start_step", type=int, default=40)
 
     # New (rebuild-only) flags; all optional, defaults preserve reference behavior.
+    # Weight files replace the reference's runtime HuggingFace downloads
+    # (utils/sd_utils.py:52-66) — pass local .safetensors/.bin checkpoints.
+    p.add_argument("--vae_weights", type=str, default=None)
+    p.add_argument("--unet_weights", type=str, default=None)
+    p.add_argument("--clip_weights", type=str, default=None)
+    p.add_argument("--tokenizer_dir", type=str, default=None)
     p.add_argument("--config_dir", type=str, default=None)
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
     p.add_argument("--seed", type=int, default=0)

@@ -97,10 +97,14 @@ class _FrameTreeDataset:
 
 
 class BouncingBallDataset(_FrameTreeDataset):
+    # Deviation from loaders/bouncing_ball_loader.py:60-78: partial clips at
+    # parent-folder boundaries are dropped (require_full) — the reference kept
+    # them, which produces ragged batches that crash any collate; its datasets
+    # simply never hit the case.
     def __init__(self, num_frames=5, stride=1, dir="data/bouncing_ball",
                  stage="train", shuffle=True, seed=None):
         super().__init__(num_frames, stride, dir, stage, shuffle,
-                         require_full=False, seed=seed)
+                         require_full=True, seed=seed)
 
 
 class KittiDataset(_FrameTreeDataset):

@@ -78,8 +78,9 @@ class BatchLoader:
             try:
                 for b in batches:
                     q.put(self._assemble(b))
-            finally:
                 q.put(SENTINEL)
+            except BaseException as e:  # propagate decode errors to consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -87,5 +88,8 @@ class BatchLoader:
             item = q.get()
             if item is SENTINEL:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()

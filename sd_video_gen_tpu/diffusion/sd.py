@@ -1,0 +1,227 @@
+"""SDPipeline: the reference SDUtils surface, rebuilt as jitted XLA programs.
+
+Reference: utils/sd_utils.py — VAE encode/decode (128-169), CLIP text encode
+with cond+uncond concat (78-95), full LMS denoising with CFG (97-126),
+DDIM img2img partial denoising from start_step (222-267), img_to_img
+(269-294), prompt_to_img (171-189), perturb_latents (216-220).
+
+TPU-first: every loop is a lax.scan over precomputed scheduler constants
+(diffusion/schedulers.py); the classifier-free-guidance pair runs as one
+2B-batch UNet call; nothing touches the host between steps. Compiled
+programs are cached per (num_steps, start_step, shape).
+
+Weights: pass converted params (diffusion/weights.py) for real SD behavior;
+absent weights fall back to random init (shape-correct, for tests/benches —
+a loud warning is printed once).
+"""
+
+from __future__ import annotations
+
+import warnings
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sd_video_gen_tpu.codecs import SD_LATENT_SCALE
+from sd_video_gen_tpu.diffusion.schedulers import DDIMSchedule, LMSSchedule
+from sd_video_gen_tpu.diffusion.vae_codec import VAECodec
+from sd_video_gen_tpu.models.clip_text import (CLIPTextConfig, CLIPTextEncoder,
+                                               empty_prompt_ids)
+from sd_video_gen_tpu.models.unet import UNet2DCondition, UNetConfig
+from sd_video_gen_tpu.models.vae import VAEConfig
+
+
+class SDPipeline:
+    def __init__(self, frame_size: int = 512, vae_params=None, unet_params=None,
+                 clip_params=None, tokenizer_dir: str | None = None,
+                 vae_cfg: VAEConfig | None = None,
+                 unet_cfg: UNetConfig | None = None,
+                 clip_cfg: CLIPTextConfig | None = None,
+                 dtype=jnp.float32):
+        self.frame_size = frame_size
+        self.vae = VAECodec(frame_size, params=vae_params,
+                            cfg=vae_cfg or VAEConfig(dtype=dtype))
+        self.unet_cfg = unet_cfg or UNetConfig(dtype=dtype)
+        self.unet = UNet2DCondition(self.unet_cfg)
+        self.clip_cfg = clip_cfg or CLIPTextConfig(dtype=dtype)
+        self.clip = CLIPTextEncoder(self.clip_cfg)
+        self.tokenizer_dir = tokenizer_dir
+        self._tokenizer = None
+
+        if unet_params is None:
+            warnings.warn("SDPipeline: no UNet weights provided — using "
+                          "random init (outputs are not SD samples)")
+            z = jnp.zeros((1, 8, 8, self.unet_cfg.in_channels))
+            ctx = jnp.zeros((1, 2, self.unet_cfg.cross_attention_dim))
+            unet_params = self.unet.init(jax.random.PRNGKey(0), z,
+                                         jnp.zeros((1,), jnp.int32), ctx)
+        self.unet_params = unet_params
+        if clip_params is None:
+            clip_params = self.clip.init(jax.random.PRNGKey(0),
+                                         empty_prompt_ids(1, self.clip_cfg.max_length))
+        self.clip_params = clip_params
+        self._jit_cache: dict = {}
+
+    # -- text ---------------------------------------------------------------
+    def tokenize(self, prompts: list[str]) -> jnp.ndarray:
+        """Token ids; '' needs no tokenizer data (the video --denoise path)."""
+        if all(p == "" for p in prompts):
+            return empty_prompt_ids(len(prompts), self.clip_cfg.max_length)
+        if self._tokenizer is None:
+            if self.tokenizer_dir is None:
+                raise ValueError(
+                    "non-empty prompts need a CLIP tokenizer: pass "
+                    "tokenizer_dir with vocab.json/merges.txt")
+            from transformers import CLIPTokenizer
+            self._tokenizer = CLIPTokenizer.from_pretrained(self.tokenizer_dir)
+        out = self._tokenizer(prompts, padding="max_length",
+                              max_length=self.clip_cfg.max_length,
+                              truncation=True, return_tensors="np")
+        return jnp.asarray(out["input_ids"], jnp.int32)
+
+    def encode_text(self, prompts: list[str]) -> jnp.ndarray:
+        """[uncond; cond] embeddings, (2B, 77, hidden) — sd_utils:78-95."""
+        cond = self.clip.apply(self.clip_params, self.tokenize(prompts))
+        uncond = self.clip.apply(
+            self.clip_params,
+            empty_prompt_ids(len(prompts), self.clip_cfg.max_length))
+        return jnp.concatenate([uncond, cond], axis=0)
+
+    def uncond_embeddings(self, batch: int = 1) -> jnp.ndarray:
+        """encode_text(['']) — the only text the video denoise path uses."""
+        e = self.clip.apply(self.clip_params,
+                            empty_prompt_ids(batch, self.clip_cfg.max_length))
+        return jnp.concatenate([e, e], axis=0)
+
+    # -- latent loops -------------------------------------------------------
+    def _unet_eps(self, latents, t, text_embeddings, guidance_scale):
+        """CFG noise prediction: one 2B-batch UNet call (sd_utils:111-121)."""
+        pair = jnp.concatenate([latents, latents], axis=0)
+        tt = jnp.broadcast_to(t, (pair.shape[0],))
+        eps = self.unet.apply(self.unet_params, pair, tt, text_embeddings)
+        eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
+        return eps_uncond + guidance_scale * (eps_text - eps_uncond)
+
+    def denoise_img_latents(self, text_embeddings, height=512, width=512,
+                            num_inference_steps=50, guidance_scale=7.5,
+                            latents=None, rng=None):
+        """Full LMS loop from noise (sd_utils:97-126). NHWC latents."""
+        B = text_embeddings.shape[0] // 2
+        sched = LMSSchedule(num_inference_steps)
+        if latents is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            latents = jax.random.normal(
+                rng, (B, height // 8, width // 8, self.unet_cfg.in_channels))
+        key = ("lms", num_inference_steps, latents.shape)
+        if key not in self._jit_cache:
+            timesteps = jnp.asarray(sched.timesteps, jnp.float32)
+
+            @jax.jit
+            def run(latents, text_embeddings, guidance_scale):
+                x = latents * sched.init_noise_scale()
+                hist = sched.init_history(x)
+
+                def body(carry, i):
+                    x, hist = carry
+                    xin = sched.scale_input(x, i)
+                    eps = self._unet_eps(xin, timesteps[i], text_embeddings,
+                                         guidance_scale)
+                    x, hist = sched.step(eps, i, x, hist)
+                    return (x, hist), None
+
+                (x, _), _ = jax.lax.scan(body, (x, hist),
+                                         jnp.arange(num_inference_steps))
+                return x
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key](latents, text_embeddings,
+                                    jnp.float32(guidance_scale))
+
+    def gen_i2i_latents(self, text_embeddings, height=512, width=512,
+                        num_inference_steps=50, guidance_scale=7.5,
+                        latents=None, start_step=10, rng=None,
+                        return_all_latents=False):
+        """DDIM partial denoise from start_step (sd_utils:222-267):
+        add_noise at timesteps[start_step], then the remaining steps."""
+        B = text_embeddings.shape[0] // 2
+        if latents is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            latents = jax.random.normal(
+                rng, (B, height // 8, width // 8, self.unet_cfg.in_channels))
+        sched = DDIMSchedule(num_inference_steps)
+        key = ("ddim", num_inference_steps, start_step, latents.shape,
+               return_all_latents)
+        if key not in self._jit_cache:
+            timesteps = jnp.asarray(sched.timesteps.copy(), jnp.float32)
+
+            @jax.jit
+            def run(latents, text_embeddings, guidance_scale, noise_rng):
+                x = latents
+                if start_step > 0:
+                    noise = jax.random.normal(noise_rng, x.shape, x.dtype)
+                    x = sched.add_noise_at(x, noise, start_step)
+                x0 = x
+
+                def body(x, i):
+                    eps = self._unet_eps(x, timesteps[i], text_embeddings,
+                                         guidance_scale)
+                    x = sched.step(eps, i, x)
+                    return x, x if return_all_latents else None
+
+                x, hist = jax.lax.scan(
+                    body, x, jnp.arange(start_step, num_inference_steps))
+                if return_all_latents:
+                    return jnp.concatenate([x0[None], hist], axis=0)
+                return x
+
+            self._jit_cache[key] = run
+        noise_rng = rng if rng is not None else jax.random.PRNGKey(0)
+        out = self._jit_cache[key](latents, text_embeddings,
+                                   jnp.float32(guidance_scale), noise_rng)
+        if return_all_latents:
+            return out.reshape((-1,) + latents.shape[1:])
+        return out
+
+    # -- top-level generation (sd_utils:171-189, 269-294) -------------------
+    def prompt_to_img(self, prompts, height=512, width=512,
+                      num_inference_steps=50, guidance_scale=7.5,
+                      latents=None, rng=None):
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        emb = self.encode_text(prompts)
+        lat = self.denoise_img_latents(emb, height, width,
+                                       num_inference_steps, guidance_scale,
+                                       latents, rng)
+        return self._decode_pixels(lat)
+
+    def img_to_img(self, prompts, img, height=512, width=512,
+                   num_inference_steps=50, guidance_scale=7.5,
+                   start_step=10, rng=None):
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        lat = self.encode_img(img)
+        emb = self.encode_text(prompts)
+        out = self.gen_i2i_latents(emb, height, width, num_inference_steps,
+                                   guidance_scale, latents=lat,
+                                   start_step=start_step, rng=rng)
+        return self._decode_pixels(out)
+
+    # -- pixel <-> latent (NHWC spatial latents) ----------------------------
+    def encode_img(self, imgs_u8):
+        """(B, H, W, 3) uint8 -> (B, H/8, W/8, 4) scaled latents."""
+        lat = self.vae.encode_frames(imgs_u8[:, None])  # (B,1,L)
+        h = self.vae.latent_hw
+        return lat.reshape(-1, 4, h, h).transpose(0, 2, 3, 1)
+
+    def _decode_pixels(self, latents_nhwc):
+        flat = latents_nhwc.transpose(0, 3, 1, 2).reshape(
+            latents_nhwc.shape[0], -1)
+        return self.vae.decode_latents(flat)
+
+    def perturb_latents(self, latents, scale=0.1, rng=None):
+        """Latent jitter + renormalize (sd_utils:216-220)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        noise = jax.random.normal(rng, latents.shape, latents.dtype)
+        new = (1 - scale) * latents + scale * noise
+        return (new - new.mean()) / new.std()

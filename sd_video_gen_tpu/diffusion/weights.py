@@ -85,6 +85,115 @@ def _attn(sd, prefix):
             "proj_attn": _dense(sd, pick("proj_attn", "to_out.0", "proj_out"))}
 
 
+def convert_clip_text(sd: dict, num_layers: int = 12) -> dict:
+    """transformers CLIPTextModel state_dict -> models/clip_text params."""
+    pre = "text_model." if any(k.startswith("text_model.") for k in sd) else ""
+
+    def ln(p):
+        return {"scale": jnp.asarray(sd[p + ".weight"]),
+                "bias": jnp.asarray(sd[p + ".bias"])}
+
+    p: dict = {
+        "token_embedding": {"embedding": jnp.asarray(
+            sd[pre + "embeddings.token_embedding.weight"])},
+        "position_embedding": jnp.asarray(
+            sd[pre + "embeddings.position_embedding.weight"]),
+        "final_layer_norm": ln(pre + "final_layer_norm"),
+    }
+    for i in range(num_layers):
+        lp = f"{pre}encoder.layers.{i}"
+        p[f"layer_{i}"] = {
+            "layer_norm1": ln(lp + ".layer_norm1"),
+            "layer_norm2": ln(lp + ".layer_norm2"),
+            "self_attn": {
+                "q_proj": _dense(sd, lp + ".self_attn.q_proj"),
+                "k_proj": _dense(sd, lp + ".self_attn.k_proj"),
+                "v_proj": _dense(sd, lp + ".self_attn.v_proj"),
+                "out_proj": _dense(sd, lp + ".self_attn.out_proj"),
+            },
+            "fc1": _dense(sd, lp + ".mlp.fc1"),
+            "fc2": _dense(sd, lp + ".mlp.fc2"),
+        }
+    return {"params": p}
+
+
+def _resnet_t(sd, prefix, has_shortcut):
+    out = _resnet(sd, prefix, has_shortcut)
+    out["time_emb_proj"] = _dense(sd, prefix + ".time_emb_proj")
+    return out
+
+
+def _tf2d(sd, prefix):
+    """diffusers Transformer2DModel -> models/unet.Transformer2D params."""
+    b = prefix + ".transformer_blocks.0"
+
+    def attn(p):
+        return {"to_q": {"kernel": _linear_w(sd[p + ".to_q.weight"])},
+                "to_k": {"kernel": _linear_w(sd[p + ".to_k.weight"])},
+                "to_v": {"kernel": _linear_w(sd[p + ".to_v.weight"])},
+                "to_out_0": _dense(sd, p + ".to_out.0")}
+
+    def ln(p):
+        return {"scale": jnp.asarray(sd[p + ".weight"]),
+                "bias": jnp.asarray(sd[p + ".bias"])}
+
+    return {
+        "norm": _norm(sd, prefix + ".norm"),
+        "proj_in": _conv(sd, prefix + ".proj_in"),
+        "proj_out": _conv(sd, prefix + ".proj_out"),
+        "block_0": {
+            "norm1": ln(b + ".norm1"),
+            "attn1": attn(b + ".attn1"),
+            "norm2": ln(b + ".norm2"),
+            "attn2": attn(b + ".attn2"),
+            "norm3": ln(b + ".norm3"),
+            "ff": {"geglu_proj": _dense(sd, b + ".ff.net.0.proj"),
+                   "out_proj": _dense(sd, b + ".ff.net.2")},
+        },
+    }
+
+
+def convert_unet(sd: dict, block_out=(320, 640, 1280, 1280),
+                 layers_per_block: int = 2) -> dict:
+    """diffusers UNet2DConditionModel state_dict -> models/unet params."""
+    n = len(block_out)
+    p: dict = {
+        "time_embedding": {"linear_1": _dense(sd, "time_embedding.linear_1"),
+                           "linear_2": _dense(sd, "time_embedding.linear_2")},
+        "conv_in": _conv(sd, "conv_in"),
+        "norm_out": _norm(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+        "mid_res_0": _resnet_t(sd, "mid_block.resnets.0", False),
+        "mid_attn": _tf2d(sd, "mid_block.attentions.0"),
+        "mid_res_1": _resnet_t(sd, "mid_block.resnets.1", False),
+    }
+    for i in range(n):
+        has_attn = i < n - 1
+        for j in range(layers_per_block):
+            pre = f"down_blocks.{i}.resnets.{j}"
+            p[f"down_{i}_res_{j}"] = _resnet_t(
+                sd, pre, (pre + ".conv_shortcut.weight") in sd)
+            if has_attn:
+                p[f"down_{i}_attn_{j}"] = _tf2d(
+                    sd, f"down_blocks.{i}.attentions.{j}")
+        if i < n - 1:
+            p[f"down_{i}_downsample"] = {
+                "conv": _conv(sd, f"down_blocks.{i}.downsamplers.0.conv")}
+    for i in range(n):
+        has_attn = i > 0
+        for j in range(layers_per_block + 1):
+            pre = f"up_blocks.{i}.resnets.{j}"
+            p[f"up_{i}_res_{j}"] = _resnet_t(
+                sd, pre, (pre + ".conv_shortcut.weight") in sd)
+            if has_attn:
+                p[f"up_{i}_attn_{j}"] = _tf2d(
+                    sd, f"up_blocks.{i}.attentions.{j}")
+        if i < n - 1:
+            p[f"up_{i}_upsample"] = {
+                "conv": _conv(sd, f"up_blocks.{i}.upsamplers.0.conv")}
+    return {"params": p}
+
+
 def convert_vae(sd: dict, block_out=(128, 256, 512, 512),
                 layers_per_block: int = 2) -> dict:
     """diffusers AutoencoderKL state_dict -> params for models/vae.AutoencoderKL."""

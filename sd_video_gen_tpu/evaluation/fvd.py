@@ -1,0 +1,147 @@
+"""FVD (Fréchet Video Distance) over I3D features, TPU-native.
+
+The reference carries two independent FVD lineages as a cross-check:
+  - evaluation/fvd.py: streaming FeatureStats (mean+cov accumulators,
+    95-171) + scipy sqrtm Fréchet (80-92), TorchScript I3D detector.
+  - evaluation/fvd_2.py: batch get_logits (81-89), pure-torch Fréchet via
+    SVD symmetric sqrt (22-78), explicit pytorch_i3d graph.
+
+This module provides both surfaces over one JAX I3D (models/i3d.py):
+  - ``FeatureStats``: jittable streaming accumulators (n, Σx, Σxxᵀ) that
+    also merge across devices with a psum (replacing the dead
+    torch.distributed.broadcast path at evaluation/fvd.py:135-145).
+  - ``frechet_distance``: trace form with symmetric matrix sqrt via SVD
+    (VideoGPT lineage) — pure numpy/JAX, no scipy needed on the hot path;
+    ``compute_fvd`` uses scipy.linalg.sqrtm like the stylegan lineage for
+    numerical cross-checking.
+  - ``preprocess_videos``: resize-shorter-side-224 + center crop + [-1,1]
+    (evaluation/fvd_2.py:109-137) as a jittable device-side transform.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# -- preprocessing ----------------------------------------------------------
+
+def preprocess_videos(videos_u8: jnp.ndarray, target: int = 224) -> jnp.ndarray:
+    """(B, T, H, W, 3) uint8 -> (B, T, 224, 224, 3) f32 in [-1, 1].
+
+    Bilinear resize of the shorter side to ``target``, center crop, scale.
+    """
+    B, T, H, W, C = videos_u8.shape
+    x = videos_u8.astype(jnp.float32)
+    scale = target / min(H, W)
+    nh, nw = int(round(H * scale)), int(round(W * scale))
+    x = jax.image.resize(x.reshape(B * T, H, W, C), (B * T, nh, nw, C),
+                         method="bilinear")
+    top, left = (nh - target) // 2, (nw - target) // 2
+    x = x[:, top:top + target, left:left + target, :]
+    x = x / 127.5 - 1.0
+    return x.reshape(B, T, target, target, C)
+
+
+# -- I3D feature extraction -------------------------------------------------
+
+def get_fvd_logits(i3d, params, videos_u8: jnp.ndarray,
+                   batch_size: int = 16) -> jnp.ndarray:
+    """uint8 videos -> (B, 400) I3D logits, chunked (fvd_2.py:81-89)."""
+    outs = []
+    for i in range(0, videos_u8.shape[0], batch_size):
+        chunk = videos_u8[i:i + batch_size]
+        x = preprocess_videos(jnp.asarray(chunk))
+        outs.append(i3d.apply(params, x))
+    return jnp.concatenate(outs, axis=0)
+
+
+# -- streaming statistics ---------------------------------------------------
+
+@dataclasses.dataclass
+class FeatureStats:
+    """Streaming (n, Σx, Σxxᵀ) accumulators; jit/psum friendly.
+
+    Mirrors the stylegan-lineage accumulators (evaluation/fvd.py:95-171)
+    without its capture flags: mean/cov are always available.
+    """
+
+    dim: int
+    n: jnp.ndarray = None
+    raw_sum: jnp.ndarray = None
+    raw_prod: jnp.ndarray = None
+
+    def __post_init__(self):
+        if self.n is None:
+            self.n = jnp.zeros((), jnp.float64 if jax.config.jax_enable_x64
+                               else jnp.float32)
+            self.raw_sum = jnp.zeros((self.dim,), jnp.float32)
+            self.raw_prod = jnp.zeros((self.dim, self.dim), jnp.float32)
+
+    def append(self, feats: jnp.ndarray) -> "FeatureStats":
+        f = feats.astype(jnp.float32)
+        return FeatureStats(self.dim, self.n + f.shape[0],
+                            self.raw_sum + f.sum(0),
+                            self.raw_prod + f.T @ f)
+
+    def merge(self, other: "FeatureStats") -> "FeatureStats":
+        return FeatureStats(self.dim, self.n + other.n,
+                            self.raw_sum + other.raw_sum,
+                            self.raw_prod + other.raw_prod)
+
+    def psum(self, axis_name: str) -> "FeatureStats":
+        """All-reduce accumulators across a mesh axis (inside shard_map)."""
+        return FeatureStats(self.dim,
+                            jax.lax.psum(self.n, axis_name),
+                            jax.lax.psum(self.raw_sum, axis_name),
+                            jax.lax.psum(self.raw_prod, axis_name))
+
+    def mean_cov(self):
+        mu = self.raw_sum / self.n
+        cov = self.raw_prod / self.n - jnp.outer(mu, mu)
+        return mu, cov
+
+
+# -- Fréchet distance -------------------------------------------------------
+
+def _symmetric_sqrt(mat: np.ndarray) -> np.ndarray:
+    """PSD matrix sqrt via SVD (fvd_2.py:22-25 lineage)."""
+    u, s, vT = np.linalg.svd(np.asarray(mat, np.float64))
+    return (u * np.sqrt(np.maximum(s, 0))) @ vT
+
+
+def trace_sqrt_product(c1: np.ndarray, c2: np.ndarray) -> float:
+    """tr(sqrt(c1 c2)) = ||sqrt(c1) sqrt(c2)||_F^2-style trick (fvd_2.py:28-31)."""
+    s1 = _symmetric_sqrt(c1)
+    inner = s1 @ np.asarray(c2, np.float64) @ s1
+    return float(np.trace(_symmetric_sqrt(inner)))
+
+
+def cov_bessel(x: np.ndarray) -> np.ndarray:
+    """Sample covariance with 1/(N-1) (fvd_2.py:34-64 lineage)."""
+    x = np.asarray(x, np.float64)
+    mu = x.mean(0, keepdims=True)
+    d = x - mu
+    return d.T @ d / (x.shape[0] - 1)
+
+
+def frechet_distance(x: np.ndarray, y: np.ndarray) -> float:
+    """FVD from two logit sets (fvd_2.py:67-78): ||mx-my||² + tr(cx+cy-2√(cxcy))."""
+    x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+    mx, my = x.mean(0), y.mean(0)
+    cx, cy = cov_bessel(x), cov_bessel(y)
+    return float(((mx - my) ** 2).sum() + np.trace(cx) + np.trace(cy)
+                 - 2 * trace_sqrt_product(cx, cy))
+
+
+def compute_fvd(stats_real: FeatureStats, stats_gen: FeatureStats) -> float:
+    """Streaming-stats Fréchet via scipy sqrtm (evaluation/fvd.py:80-92)."""
+    import scipy.linalg
+    mu_r, cov_r = (np.asarray(a, np.float64) for a in stats_real.mean_cov())
+    mu_g, cov_g = (np.asarray(a, np.float64) for a in stats_gen.mean_cov())
+    m = np.square(mu_g - mu_r).sum()
+    s, _ = scipy.linalg.sqrtm(cov_g @ cov_r, disp=False)
+    return float(np.real(m + np.trace(cov_g + cov_r - 2 * s)))

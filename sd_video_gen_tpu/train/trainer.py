@@ -226,8 +226,43 @@ class Trainer:
         means = jax.tree.map(lambda s: s / max(nb, 1), sums or {})
         return {f"{k}_val": float(v) for k, v in means.items()}
 
+    def fvd_validation(self, loader, i3d, i3d_params, max_batches: int = 8):
+        """In-training FVD on teacher-forced predictions.
+
+        Reference: trainers/trainer_fvd.py:253-285 — every few epochs the
+        validation decodes predicted latents to pixels, resizes to 224 and
+        streams GT + predictions through I3D into FeatureStats.
+        """
+        from sd_video_gen_tpu.evaluation.fvd import (FeatureStats, compute_fvd,
+                                                     preprocess_videos)
+        k = self.cfg.frames_to_predict
+
+        @jax.jit
+        def fvd_batch(params, frames):
+            latents = self.codec.encode_batch(frames, use_sos=self.mode != "future")
+            pred_k, _ = _predictions_and_targets(
+                self.model, params, latents, k, self.mode, rngs=None,
+                deterministic=True)
+            B = pred_k.shape[0]
+            dec = self.codec.decode_latents(
+                pred_k.reshape(B * k, self.codec.latent_dim))
+            dec = dec.reshape(B, k, *dec.shape[1:])
+            f_gen = i3d.apply(i3d_params, preprocess_videos(dec))
+            f_real = i3d.apply(i3d_params,
+                               preprocess_videos(frames[:, -k:]))
+            return f_real, f_gen
+
+        st_r, st_g = FeatureStats(400), FeatureStats(400)
+        for bi, (_, frames) in enumerate(loader):
+            if bi >= max_batches:
+                break
+            f_real, f_gen = fvd_batch(self.state.params,
+                                      self._put_batch(frames))
+            st_r, st_g = st_r.append(f_real), st_g.append(f_gen)
+        return compute_fvd(st_r, st_g)
+
     def fit(self, train_loader, val_loader, epochs: int, seed: int = 0,
-            save_best: bool = False):
+            save_best: bool = False, fvd_every: int = 0, fvd_i3d=None):
         rng = jax.random.PRNGKey(seed)
         if self.state is None:
             indices, frames = next(iter(train_loader))
@@ -239,6 +274,10 @@ class Trainer:
             metrics = {"epoch": epoch, **train_m, **val_m,
                        "train_loss": train_m.get("total_train", 0.0),
                        "val_loss": val_m.get("total_val", 0.0)}
+            # periodic in-training FVD (trainer_fvd.py:500 epoch%5==1 gate)
+            if fvd_every and fvd_i3d is not None and epoch % fvd_every == 1:
+                metrics["FVD score"] = self.fvd_validation(val_loader,
+                                                           *fvd_i3d)
             self.logger.log(metrics, step=int(self.state.step))
             history.append(metrics)
             self._save(metrics, save_best)
@@ -297,6 +336,9 @@ def main(argv=None):
                         choices=["pixel", "vae"])
     parser.add_argument("--sweep", action="store_true",
                         help="run the full YAML grid instead of the first point")
+    parser.add_argument("--fvd_every", type=int, default=0,
+                        help="compute FVD every N epochs (trainer_fvd mode)")
+    parser.add_argument("--i3d_weights", type=str, default=None)
     args = parser.parse_args(argv)
 
     from sd_video_gen_tpu.config import load_config
@@ -304,10 +346,17 @@ def main(argv=None):
 
     grid = (sweep_grid(args.config, args.config_dir) if args.sweep
             else [load_config(args.config, args.config_dir)])
+    vae_params = None
+    if args.codec == "vae" and args.vae_weights:
+        from sd_video_gen_tpu.diffusion.weights import (load_state_dict,
+                                                        convert_vae)
+        vae_params = convert_vae(load_state_dict(args.vae_weights))
+
     for cfg in grid:
         trainer = Trainer(cfg, args, mode=args.train_mode,
                           codec_kind=args.codec,
-                          checkpoint_dir=args.checkpoint_dir)
+                          checkpoint_dir=args.checkpoint_dir,
+                          vae_params=vae_params)
         train_ds = build_dataset(cfg, args, "train")
         val_ds = build_dataset(cfg, args, "test")
         train_loader = BatchLoader(train_ds, cfg.batch_size,
@@ -318,8 +367,13 @@ def main(argv=None):
             indices, frames = next(iter(train_loader))
             trainer.init_state(frames, args.seed, trainer._texts(indices))
             trainer.resume(args.old_name)
+        fvd_i3d = None
+        if args.fvd_every:
+            from sd_video_gen_tpu.evaluation.predict_fvd import load_i3d
+            fvd_i3d = load_i3d(args.i3d_weights)
         trainer.fit(train_loader, val_loader, epochs=cfg.epochs,
-                    seed=args.seed, save_best=args.save_best)
+                    seed=args.seed, save_best=args.save_best,
+                    fvd_every=args.fvd_every, fvd_i3d=fvd_i3d)
         trainer.logger.close()
 
 

@@ -1,0 +1,36 @@
+"""Video/frame I/O helpers (host side).
+
+Reference: utils/sd_utils.py imgs_to_video (191-199) and the frame-saving /
+red-border conventions of prediction/predict.py:201-229 (the border helper
+itself lives in predict/predict.py next to its CLI).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import cv2
+
+
+def imgs_to_video(imgs, video_name: str = "video.mp4", fps: int = 15) -> str:
+    """Write a list/array of HxWx3 uint8 BGR frames to an mp4/avi file."""
+    imgs = [np.asarray(im) for im in imgs]
+    h, w = imgs[0].shape[:2]
+    fourcc = cv2.VideoWriter_fourcc(*("mp4v" if video_name.endswith(".mp4")
+                                      else "DIVX"))
+    vw = cv2.VideoWriter(video_name, fourcc, fps, (w, h))
+    for im in imgs:
+        vw.write(im)
+    vw.release()
+    return video_name
+
+
+def video_to_imgs(path: str, max_frames: int | None = None) -> np.ndarray:
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok or (max_frames and len(frames) >= max_frames):
+            break
+        frames.append(f)
+    cap.release()
+    return np.stack(frames) if frames else np.zeros((0,), np.uint8)
