@@ -1,0 +1,165 @@
+"""Native (C++) batch loader: ctypes binding over native/fastloader.cpp.
+
+The hot input path — epoch sampling, clip gather, augmentation, prefetch —
+runs in C++ threads over a memory-mapped cache, outside the GIL (the
+reference used 12 torch DataLoader worker *processes* re-decoding PNGs every
+epoch). Python only sees ready uint8/f32 batch buffers.
+
+Cache format: one raw binary file of N contiguous clip records + a small
+JSON header (shape/dtype). ``build_frame_cache`` writes it from any indexable
+dataset; latent caches from utils/preprocess.py are converted on the fly.
+
+Falls back loudly if the shared library can't be built (g++ required).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libfastloader.so")
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                       check=True, capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.fl_open.restype = ctypes.c_void_p
+    lib.fl_open.argtypes = [ctypes.c_char_p] + [ctypes.c_int64] * 6
+    lib.fl_start_epoch.restype = ctypes.c_int64
+    lib.fl_start_epoch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_uint64]
+    lib.fl_next_batch.restype = ctypes.c_int64
+    lib.fl_next_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.fl_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def build_frame_cache(dataset, out_dir: str, stage: str) -> str:
+    """Serialize an indexable (indices, clip ndarray) dataset to the native
+    cache format: <stage>.bin (raw records) + <stage>.json (header)."""
+    os.makedirs(out_dir, exist_ok=True)
+    first = np.ascontiguousarray(dataset[0][1])
+    shape, dtype = first.shape, first.dtype
+    bin_path = os.path.join(out_dir, f"{stage}.bin")
+    with open(bin_path, "wb") as f:
+        for i in range(len(dataset)):
+            _, clip = dataset[i]
+            clip = np.ascontiguousarray(clip, dtype=dtype)
+            assert clip.shape == shape, "ragged clip in cache build"
+            f.write(clip.tobytes())
+    with open(os.path.join(out_dir, f"{stage}.json"), "w") as f:
+        json.dump({"n_clips": len(dataset), "shape": list(shape),
+                   "dtype": str(dtype)}, f)
+    return bin_path
+
+
+class NativeBatchLoader:
+    """Drop-in for data/pipeline.BatchLoader, backed by the C++ runtime."""
+
+    def __init__(self, cache_dir: str, stage: str, batch_size: int,
+                 epoch_ratio: float = 1.0, shuffle: bool = True,
+                 drop_last: bool = True, n_threads: int = 2,
+                 prefetch: int = 3, flip: bool = False, seed: int = 0):
+        with open(os.path.join(cache_dir, f"{stage}.json")) as f:
+            hdr = json.load(f)
+        self.shape = tuple(hdr["shape"])
+        self.dtype = np.dtype(hdr["dtype"])
+        self.n_clips = hdr["n_clips"]
+        self.clip_bytes = int(np.prod(self.shape)) * self.dtype.itemsize
+        self.batch_size = batch_size
+        self.epoch_ratio = epoch_ratio
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.n_threads = n_threads
+        self.prefetch = prefetch
+        self.flip = flip
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+        lib = _load_lib()
+        frames, height, width, channels = (list(self.shape) + [0, 0, 0, 0])[:4]
+        if self.dtype != np.uint8 or len(self.shape) != 4:
+            frames = height = width = channels = 0  # flat records, no augment
+        self._h = lib.fl_open(
+            os.path.join(cache_dir, f"{stage}.bin").encode(),
+            self.n_clips, self.clip_bytes, frames, height, width, channels)
+        if not self._h:
+            raise OSError(f"fastloader could not open cache in {cache_dir}")
+        self._lib = lib
+
+    def __len__(self):
+        take = max(1, int(self.n_clips * self.epoch_ratio))
+        if self.drop_last and take >= self.batch_size:
+            return take // self.batch_size
+        return (take + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        take = max(1, int(self.n_clips * self.epoch_ratio))
+        order = (self._rng.permutation(self.n_clips)
+                 if self.shuffle else np.arange(self.n_clips))[:take]
+        if self.drop_last and take >= self.batch_size:
+            order = order[: (take // self.batch_size) * self.batch_size]
+        order = np.ascontiguousarray(order, np.int64)
+        self._epoch += 1
+        n_batches = self._lib.fl_start_epoch(
+            self._h, order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(order), self.batch_size, self.n_threads, self.prefetch,
+            1 if self.flip else 0, self._epoch)
+        served = ctypes.c_int64(0)
+        buf = np.empty((self.batch_size,) + self.shape, self.dtype)
+        idx = np.empty((self.batch_size,), np.int64)
+        for _ in range(n_batches):
+            n = self._lib.fl_next_batch(
+                self._h, buf.ctypes.data_as(ctypes.c_void_p),
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.byref(served))
+            if n <= 0:
+                break
+            yield idx[:n].tolist(), buf[:n].copy()
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.fl_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def main(argv=None):
+    """Build a native frame cache from any dataset CLI-addressable via
+    train.trainer.build_dataset: python -m sd_video_gen_tpu.data.native_loader
+    --dataset ball --folder <dir> --config <cfg> --out frame_cache/"""
+    from sd_video_gen_tpu.config import build_arg_parser, load_config
+    from sd_video_gen_tpu.train.trainer import build_dataset
+    p = build_arg_parser()
+    p.add_argument("--out", type=str, default="frame_cache")
+    args = p.parse_args(argv)
+    cfg = load_config(args.config, args.config_dir)
+    for stage in ("train", "test"):
+        ds = build_dataset(cfg, args, stage)
+        path = build_frame_cache(ds, args.out, stage)
+        print(f"{stage}: {len(ds)} clips -> {path}")
+
+
+if __name__ == "__main__":
+    main()

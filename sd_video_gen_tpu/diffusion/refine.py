@@ -8,8 +8,14 @@ The reference bounced through host numpy >=6 times per frame; here the whole
 round trip is a pure function the rollout lax.scan fuses into its step body
 — zero host transfers.
 
+Param threading: ``make_denoise_refiner`` returns ``(refine_apply,
+refine_params)`` — the VAE/UNet trees and uncond text embeddings enter the
+caller's jit as ARGUMENTS. Closing over them would embed gigabytes of
+weights as jaxpr constants (catastrophic lowering time; observed >1h on a
+1-core host before this design).
+
 Resizes use nearest-neighbor on uint8 pixels, matching the reference's
-default F.interpolate mode. Noise is drawn from a fixed fold-in key per call
+default F.interpolate mode. Noise comes from a fixed fold-in key per call
 site (the reference used unseeded torch.randn; ours is reproducible).
 """
 
@@ -23,38 +29,49 @@ from sd_video_gen_tpu.diffusion.sd import SDPipeline
 
 def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = None,
                          num_inference_steps: int = 50, hi_res: int = 512):
-    """Build a (B, latent_dim) -> (B, latent_dim) refine hook for ar_rollout.
+    """Build the refine hook for ar_rollout.
 
-    ``cfg``: framework Config (frame_size, latent layout). ``pipeline``:
-    SDPipeline holding VAE/UNet/CLIP params (random-init fallback otherwise).
+    Returns ``(refine_apply, refine_params)``:
+      refine_apply(refine_params, flat_latents (B, latent_dim)) -> same shape.
+    Pass ``refine_params`` through your jit boundary and close only over the
+    *apply* function.
     """
     pipe = pipeline or SDPipeline(frame_size=hi_res)
     lo = cfg.frame_size
-    h_lo = lo // 8
 
-    # VAE codec views at both resolutions share one param tree.
     from sd_video_gen_tpu.diffusion.vae_codec import VAECodec
     vae_lo = VAECodec(lo, params=pipe.vae.params, cfg=pipe.vae.cfg)
     vae_hi = pipe.vae if pipe.frame_size == hi_res else VAECodec(
         hi_res, params=pipe.vae.params, cfg=pipe.vae.cfg)
+    h_hi = vae_hi.latent_hw
 
-    def refine(flat_latents: jnp.ndarray) -> jnp.ndarray:
+    refine_params = {
+        "vae": pipe.vae.params,
+        "unet": pipe.unet_params,
+        # text path reduces to one constant embedding pair: gs=0 + '' prompt
+        # (prediction/predict.py:148,169)
+        "uncond_emb": pipe.uncond_embeddings(1),
+    }
+
+    def refine_apply(rp, flat_latents: jnp.ndarray) -> jnp.ndarray:
         B = flat_latents.shape[0]
-        # decode predicted latent at native resolution
-        img_lo = vae_lo.decode_latents(flat_latents)            # (B, lo, lo, 3)
-        # upscale pixels to the SD-native 512
+        vp = rp["vae"]
+        emb = jnp.concatenate([jnp.repeat(rp["uncond_emb"][:1], B, 0)] * 2, 0)
+
+        img_lo = vae_lo.decode_latents(flat_latents, params=vp)  # (B, lo, lo, 3)
         img_hi = jax.image.resize(img_lo, (B, hi_res, hi_res, 3),
                                   method="nearest")
-        lat_hi = pipe.encode_img(img_hi)                        # (B, 64, 64, 4)
-        emb = pipe.uncond_embeddings(B)
-        den = pipe.gen_i2i_latents(emb, height=hi_res, width=hi_res,
-                                   num_inference_steps=num_inference_steps,
-                                   guidance_scale=0.0, latents=lat_hi,
-                                   start_step=start_step,
-                                   rng=jax.random.PRNGKey(start_step))
-        img_den = pipe._decode_pixels(den)                      # (B, 512, 512, 3)
+        lat_hi = vae_hi.encode_frames(img_hi[:, None], params=vp)
+        lat_hi = lat_hi.reshape(B, 4, h_hi, h_hi).transpose(0, 2, 3, 1)
+        den = pipe.i2i_scan(rp["unet"], lat_hi, emb,
+                            guidance_scale=jnp.float32(0.0),
+                            start_step=start_step,
+                            num_inference_steps=num_inference_steps,
+                            noise_rng=jax.random.PRNGKey(start_step))
+        flat_hi = den.transpose(0, 3, 1, 2).reshape(B, -1)
+        img_den = vae_hi.decode_latents(flat_hi, params=vp)     # (B, 512, 512, 3)
         img_back = jax.image.resize(img_den, (B, lo, lo, 3), method="nearest")
-        lat_back = vae_lo.encode_frames(img_back[:, None])      # (B, 1, L)
+        lat_back = vae_lo.encode_frames(img_back[:, None], params=vp)
         return lat_back[:, 0]
 
-    return refine
+    return refine_apply, refine_params

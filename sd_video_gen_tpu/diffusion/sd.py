@@ -95,11 +95,15 @@ class SDPipeline:
         return jnp.concatenate([e, e], axis=0)
 
     # -- latent loops -------------------------------------------------------
-    def _unet_eps(self, latents, t, text_embeddings, guidance_scale):
+    # NB: the jitted loop bodies take ``unet_params`` as an ARGUMENT — closing
+    # over the multi-GB param tree would embed it as jaxpr constants, which
+    # blows up lowering time/memory and defeats donation.
+    def _unet_eps(self, unet_params, latents, t, text_embeddings,
+                  guidance_scale):
         """CFG noise prediction: one 2B-batch UNet call (sd_utils:111-121)."""
         pair = jnp.concatenate([latents, latents], axis=0)
         tt = jnp.broadcast_to(t, (pair.shape[0],))
-        eps = self.unet.apply(self.unet_params, pair, tt, text_embeddings)
+        eps = self.unet.apply(unet_params, pair, tt, text_embeddings)
         eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
         return eps_uncond + guidance_scale * (eps_text - eps_uncond)
 
@@ -118,15 +122,15 @@ class SDPipeline:
             timesteps = jnp.asarray(sched.timesteps, jnp.float32)
 
             @jax.jit
-            def run(latents, text_embeddings, guidance_scale):
+            def run(unet_params, latents, text_embeddings, guidance_scale):
                 x = latents * sched.init_noise_scale()
                 hist = sched.init_history(x)
 
                 def body(carry, i):
                     x, hist = carry
                     xin = sched.scale_input(x, i)
-                    eps = self._unet_eps(xin, timesteps[i], text_embeddings,
-                                         guidance_scale)
+                    eps = self._unet_eps(unet_params, xin, timesteps[i],
+                                         text_embeddings, guidance_scale)
                     x, hist = sched.step(eps, i, x, hist)
                     return (x, hist), None
 
@@ -135,8 +139,31 @@ class SDPipeline:
                 return x
 
             self._jit_cache[key] = run
-        return self._jit_cache[key](latents, text_embeddings,
+        return self._jit_cache[key](self.unet_params, latents, text_embeddings,
                                     jnp.float32(guidance_scale))
+
+    def i2i_scan(self, unet_params, latents, text_embeddings, guidance_scale,
+                 start_step: int, num_inference_steps: int, noise_rng):
+        """Pure DDIM partial-denoise body (traceable; params are arguments).
+
+        Used by gen_i2i_latents and by the rollout refiner
+        (diffusion/refine.py) so params never become jaxpr constants.
+        """
+        sched = DDIMSchedule(num_inference_steps)
+        timesteps = jnp.asarray(sched.timesteps.copy(), jnp.float32)
+        x = latents
+        if start_step > 0:
+            noise = jax.random.normal(noise_rng, x.shape, x.dtype)
+            x = sched.add_noise_at(x, noise, start_step)
+
+        def body(x, i):
+            eps = self._unet_eps(unet_params, x, timesteps[i],
+                                 text_embeddings, guidance_scale)
+            return sched.step(eps, i, x), None
+
+        x, _ = jax.lax.scan(body, x,
+                            jnp.arange(start_step, num_inference_steps))
+        return x
 
     def gen_i2i_latents(self, text_embeddings, height=512, width=512,
                         num_inference_steps=50, guidance_scale=7.5,
@@ -156,7 +183,8 @@ class SDPipeline:
             timesteps = jnp.asarray(sched.timesteps.copy(), jnp.float32)
 
             @jax.jit
-            def run(latents, text_embeddings, guidance_scale, noise_rng):
+            def run(unet_params, latents, text_embeddings, guidance_scale,
+                    noise_rng):
                 x = latents
                 if start_step > 0:
                     noise = jax.random.normal(noise_rng, x.shape, x.dtype)
@@ -164,8 +192,8 @@ class SDPipeline:
                 x0 = x
 
                 def body(x, i):
-                    eps = self._unet_eps(x, timesteps[i], text_embeddings,
-                                         guidance_scale)
+                    eps = self._unet_eps(unet_params, x, timesteps[i],
+                                         text_embeddings, guidance_scale)
                     x = sched.step(eps, i, x)
                     return x, x if return_all_latents else None
 
@@ -177,7 +205,7 @@ class SDPipeline:
 
             self._jit_cache[key] = run
         noise_rng = rng if rng is not None else jax.random.PRNGKey(0)
-        out = self._jit_cache[key](latents, text_embeddings,
+        out = self._jit_cache[key](self.unet_params, latents, text_embeddings,
                                    jnp.float32(guidance_scale), noise_rng)
         if return_all_latents:
             return out.reshape((-1,) + latents.shape[1:])

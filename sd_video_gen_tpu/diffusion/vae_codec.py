@@ -48,25 +48,29 @@ class VAECodec:
         return cls(frame_size, params=convert_vae(load_state_dict(path)), **kw)
 
     # -- pixel <-> latent ----------------------------------------------------
-    def encode_frames(self, frames: jnp.ndarray, rng=None) -> jnp.ndarray:
+    # ``params`` overrides support threading weights through an outer jit
+    # boundary (see diffusion/refine.py) instead of closing over self.params.
+    def encode_frames(self, frames: jnp.ndarray, rng=None,
+                      params=None) -> jnp.ndarray:
         """(B, T, H, W, 3) uint8 BGR -> (B, T, latent_dim) f32."""
         B, T, H, W, _ = frames.shape
         x = frames.astype(jnp.float32) / 255.0 * 2.0 - 1.0
         x = x.reshape(B * T, H, W, 3)
-        mean, logvar = self.model.apply(self.params, x,
+        mean, logvar = self.model.apply(params or self.params, x,
                                         method=AutoencoderKL.encode)
         z = sample_latent(mean, logvar, rng) if rng is not None else mean
         z = z.astype(jnp.float32) * SD_LATENT_SCALE
         z = z.transpose(0, 3, 1, 2)  # channel-major flatten (sd_utils:149)
         return z.reshape(B, T, self.latent_dim)
 
-    def decode_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
+    def decode_latents(self, latents: jnp.ndarray, params=None) -> jnp.ndarray:
         """(N, latent_dim) f32 -> (N, H, W, 3) uint8 BGR."""
         N = latents.shape[0]
         h = self.latent_hw
         z = latents.reshape(N, self.cfg.latent_channels, h, h)
         z = z.transpose(0, 2, 3, 1) / SD_LATENT_SCALE
-        x = self.model.apply(self.params, z, method=AutoencoderKL.decode)
+        x = self.model.apply(params or self.params, z,
+                             method=AutoencoderKL.decode)
         x = jnp.clip(x.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
         return jnp.round(x * 255.0).astype(jnp.uint8)
 

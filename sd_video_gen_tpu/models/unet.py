@@ -135,15 +135,15 @@ class CrossAttention(nn.Module):
         v = _dense(c, self.query_dim, "to_v", use_bias=False)(ctx)
         B, Tq, _ = q.shape
         Tk = k.shape[1]
-        q = q.reshape(B, Tq, H, hd)
-        k = k.reshape(B, Tk, H, hd)
-        v = v.reshape(B, Tk, H, hd)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * (hd ** -0.5)
-        w = jax.nn.softmax(logits, axis=-1).astype(c.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", w, v,
-                       preferred_element_type=jnp.float32).astype(c.dtype)
-        o = o.reshape(B, Tq, self.query_dim)
+        # (B*H, T, hd) layout feeds ops/attention: Pallas flash kernel for the
+        # long spatial self-attention (4096 tokens at 512px), einsum otherwise.
+        from sd_video_gen_tpu.ops.attention import attention
+        q = q.reshape(B, Tq, H, hd).transpose(0, 2, 1, 3).reshape(B * H, Tq, hd)
+        k = k.reshape(B, Tk, H, hd).transpose(0, 2, 1, 3).reshape(B * H, Tk, hd)
+        v = v.reshape(B, Tk, H, hd).transpose(0, 2, 1, 3).reshape(B * H, Tk, hd)
+        o = attention(q, k, v, scale=hd ** -0.5)
+        o = o.reshape(B, H, Tq, hd).transpose(0, 2, 1, 3).reshape(
+            B, Tq, self.query_dim).astype(c.dtype)
         return _dense(c, self.query_dim, "to_out_0")(o)
 
 

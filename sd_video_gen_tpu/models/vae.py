@@ -80,11 +80,10 @@ class AttnBlock(nn.Module):
         dense = lambda name: nn.Dense(C, dtype=c.dtype,
                                       param_dtype=c.param_dtype, name=name)
         q, k, v = dense("query")(h), dense("key")(h), dense("value")(h)
-        logits = jnp.einsum("bqc,bkc->bqk", q, k,
-                            preferred_element_type=jnp.float32)
-        w = jax.nn.softmax(logits * (C ** -0.5), axis=-1).astype(c.dtype)
-        h = jnp.einsum("bqk,bkc->bqc", w, v,
-                       preferred_element_type=jnp.float32).astype(c.dtype)
+        # single-head over H*W tokens (4096 at 512px): Pallas flash kernel on
+        # TPU (ops/attention dispatch), einsum fallback elsewhere.
+        from sd_video_gen_tpu.ops.attention import attention
+        h = attention(q, k, v, scale=C ** -0.5).astype(c.dtype)
         h = dense("proj_attn")(h).reshape(B, H, W, C)
         return x + h
 

@@ -89,12 +89,15 @@ def show_frames(imgs: np.ndarray, is_pred: list[bool], fullscreen: bool):
 
 
 def make_predict_fn(model, codec, pred_frames: int, window: int,
-                    mode: str = "ar", refine_fn=None):
-    """One jitted program: frames -> (context latents, predicted latents)."""
+                    mode: str = "ar", refiner=None):
+    """One jitted program: frames -> (context latents, predicted latents).
 
-    def residual_refine(buf_apply):
-        # diff mode handled inside rollout via wrapper below
-        pass
+    ``mode='text'`` takes text embeddings as a third argument
+    (prediction/predict_text.py rollout semantics, minus its host-side
+    SentenceTransformer sync). ``refiner`` is the (apply, params) pair from
+    diffusion/refine.make_denoise_refiner — its params enter the jit as an
+    argument, never as jaxpr constants.
+    """
 
     apply_fn = model.apply
     if mode == "diff":
@@ -106,16 +109,26 @@ def make_predict_fn(model, codec, pred_frames: int, window: int,
             # (prediction/predict_diff.py:33)
             return out.at[:, -1].add(tgt[:, -1])
 
+    refine_apply, refine_params = refiner if refiner is not None else (None, None)
+
     @jax.jit
-    def predict(params, frames_u8):
+    def predict_impl(params, rparams, frames_u8, text_embeds=None):
         latents = codec.encode_batch(frames_u8, use_sos=True)
+        kwargs = {"text_embeds": text_embeds} if text_embeds is not None else {}
+        refine_fn = (None if refine_apply is None
+                     else lambda x: refine_apply(rparams, x))
         if mode == "future":
             y_in = latents[:, 1:]  # drop SOS; single shot
-            preds = model.apply(params, y_in, y_in, tgt_mask=None)[:, -pred_frames:]
+            preds = model.apply(params, y_in, y_in, tgt_mask=None,
+                                **kwargs)[:, -pred_frames:]
         else:
             preds = ar_rollout(apply_fn, params, latents, pred_frames,
-                               window=window, refine_fn=refine_fn)
+                               window=window, refine_fn=refine_fn,
+                               model_kwargs=kwargs)
         return latents[:, 1:], preds
+
+    def predict(params, frames_u8, text_embeds=None):
+        return predict_impl(params, refine_params, frames_u8, text_embeds)
 
     return predict
 
@@ -160,14 +173,23 @@ def main(argv=None):
 
     predict = make_predict_fn(model, codec, args.pred_frames,
                               window=cfg.frames_per_clip,
-                              mode=args.train_mode, refine_fn=refine_fn)
+                              mode=args.train_mode, refiner=refine_fn)
+
+    embedder = None
+    if args.train_mode == "text":
+        from sd_video_gen_tpu.models.text_embed import ClassNameEmbedder
+        embedder = ClassNameEmbedder(101, 384)
 
     dataset = build_dataset(cfg, args, "test" if args.mode != "train" else "train")
     n_done = 0
     for i in range(min(len(dataset), args.max_clips)):
         indices, frames = dataset[i]
         frames = jnp.asarray(frames)[None]  # (1, T, H, W, 3)
-        context, preds = predict(params, frames)
+        text_embeds = None
+        if embedder is not None:
+            label = indices[0] if isinstance(indices, (list, tuple)) else 0
+            text_embeds = embedder(jnp.asarray([int(label)], jnp.int32))
+        context, preds = predict(params, frames, text_embeds)
         # sequence layout matching the reference output: context minus last
         # frame, then predictions (prediction/predict.py:193)
         all_latents = jnp.concatenate([context[:, :-1], preds], axis=1)

@@ -49,6 +49,15 @@ class TrainState(train_state.TrainState):
     pass
 
 
+def encode_or_passthrough(codec, batch, use_sos: bool):
+    """uint8 frames (B,T,H,W,3) -> latents via codec; f32 (B,T,L) batches
+    (from a LatentCacheDataset) pass through with only SOS handling."""
+    from sd_video_gen_tpu.codecs import add_sos
+    if batch.ndim == 3:  # pre-encoded latents
+        return add_sos(batch) if use_sos else batch
+    return codec.encode_batch(batch, use_sos=use_sos)
+
+
 def _predictions_and_targets(model, params, latents, k, mode, rngs,
                              text_embeds=None, deterministic=False):
     """Shared forward logic for train and eval; returns (pred_k, target_k)."""
@@ -83,7 +92,7 @@ def make_train_step(model, codec, loss_w: LossWeights, cfg: Config,
     tx = tx or optax.adam(lr if lr is not None else cfg.lr)
 
     def init_fn(rng, sample_frames, text_embeds=None):
-        latents = codec.encode_batch(jnp.asarray(sample_frames), use_sos=use_sos)
+        latents = encode_or_passthrough(codec, jnp.asarray(sample_frames), use_sos)
         if mode == "future":
             src = latents[:, :-k]
             variables = model.init(rng, src, src, tgt_mask=None,
@@ -97,7 +106,7 @@ def make_train_step(model, codec, loss_w: LossWeights, cfg: Config,
                                  tx=tx)
 
     def loss_fn(params, frames, rng, text_embeds):
-        latents = codec.encode_batch(frames, use_sos=use_sos)
+        latents = encode_or_passthrough(codec, frames, use_sos)
         pred_k, target_k = _predictions_and_targets(
             model, params, latents, k, mode, rngs={"dropout": rng},
             text_embeds=text_embeds, deterministic=False)
@@ -121,7 +130,7 @@ def make_eval_step(model, codec, loss_w: LossWeights, cfg: Config,
 
     @jax.jit
     def eval_fn(params, frames, text_embeds=None):
-        latents = codec.encode_batch(frames, use_sos=use_sos)
+        latents = encode_or_passthrough(codec, frames, use_sos)
         pred_k, target_k = _predictions_and_targets(
             model, params, latents, k, mode, rngs=None,
             text_embeds=text_embeds, deterministic=True)
@@ -239,7 +248,7 @@ class Trainer:
 
         @jax.jit
         def fvd_batch(params, frames):
-            latents = self.codec.encode_batch(frames, use_sos=self.mode != "future")
+            latents = encode_or_passthrough(self.codec, frames, self.mode != "future")
             pred_k, _ = _predictions_and_targets(
                 self.model, params, latents, k, self.mode, rngs=None,
                 deterministic=True)
@@ -339,6 +348,12 @@ def main(argv=None):
     parser.add_argument("--fvd_every", type=int, default=0,
                         help="compute FVD every N epochs (trainer_fvd mode)")
     parser.add_argument("--i3d_weights", type=str, default=None)
+    parser.add_argument("--latent_cache", type=str, default=None,
+                        help="train from a utils/preprocess.py latent cache "
+                             "dir instead of decoding frames")
+    parser.add_argument("--native_cache", type=str, default=None,
+                        help="feed batches through the C++ fastloader from a "
+                             "data/native_loader.py frame cache dir")
     args = parser.parse_args(argv)
 
     from sd_video_gen_tpu.config import load_config
@@ -357,12 +372,30 @@ def main(argv=None):
                           codec_kind=args.codec,
                           checkpoint_dir=args.checkpoint_dir,
                           vae_params=vae_params)
-        train_ds = build_dataset(cfg, args, "train")
-        val_ds = build_dataset(cfg, args, "test")
-        train_loader = BatchLoader(train_ds, cfg.batch_size,
-                                   epoch_ratio=cfg.epoch_ratio, seed=args.seed)
-        val_loader = BatchLoader(val_ds, cfg.batch_size,
-                                 epoch_ratio=cfg.epoch_ratio, seed=args.seed)
+        if args.native_cache:
+            from sd_video_gen_tpu.data.native_loader import NativeBatchLoader
+            train_loader = NativeBatchLoader(
+                args.native_cache, "train", cfg.batch_size,
+                epoch_ratio=cfg.epoch_ratio, flip=args.flip, seed=args.seed,
+                n_threads=max(1, cfg.num_workers))
+            val_loader = NativeBatchLoader(
+                args.native_cache, "test", cfg.batch_size,
+                epoch_ratio=cfg.epoch_ratio, seed=args.seed,
+                n_threads=max(1, cfg.num_workers))
+        else:
+            if args.latent_cache:
+                from sd_video_gen_tpu.data.latent_cache import LatentCacheDataset
+                train_ds = LatentCacheDataset(args.latent_cache, "train")
+                val_ds = LatentCacheDataset(args.latent_cache, "test")
+            else:
+                train_ds = build_dataset(cfg, args, "train")
+                val_ds = build_dataset(cfg, args, "test")
+            train_loader = BatchLoader(train_ds, cfg.batch_size,
+                                       epoch_ratio=cfg.epoch_ratio,
+                                       seed=args.seed)
+            val_loader = BatchLoader(val_ds, cfg.batch_size,
+                                     epoch_ratio=cfg.epoch_ratio,
+                                     seed=args.seed)
         if args.resume:
             indices, frames = next(iter(train_loader))
             trainer.init_state(frames, args.seed, trainer._texts(indices))

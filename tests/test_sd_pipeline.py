@@ -104,14 +104,15 @@ def test_denoise_refiner_round_trip():
     with pytest.warns(UserWarning, match="random init"):
         pipe = _tiny_pipe(frame_size=32)
     # 2-block tiny VAE: compression 2x -> latent_hw=16 at 32px
-    refine = make_denoise_refiner(cfg, start_step=3, pipeline=pipe,
-                                  num_inference_steps=4, hi_res=32)
+    refine_apply, refine_params = make_denoise_refiner(
+        cfg, start_step=3, pipeline=pipe, num_inference_steps=4, hi_res=32)
     L = pipe.vae.latent_dim
     flat = jnp.asarray(np.random.default_rng(0).standard_normal((2, L)),
                        jnp.float32)
-    out = refine(flat)
+    out = refine_apply(refine_params, flat)
     assert out.shape == (2, L)
     assert np.isfinite(np.asarray(out)).all()
-    # jits cleanly inside an outer jit (rollout scan requirement)
-    out2 = jax.jit(refine)(flat)
+    # params thread through an outer jit as arguments (rollout requirement)
+    out2 = jax.jit(refine_apply)(refine_params, flat)
     assert np.isfinite(np.asarray(out2)).all()
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=1e-4)
