@@ -215,15 +215,21 @@ class Trainer:
         return jax.device_put(jnp.asarray(frames), batch_sharding(self.mesh))
 
     def train_loop(self, loader, rng):
+        from sd_video_gen_tpu.utils.profiling import StepTimer
+        timer = StepTimer()
         sums, nb = None, 0
         for indices, frames in loader:
+            timer.start()
             batch = self._put_batch(frames)
             self.state, comps = self._step_fn(self.state, batch, rng,
                                               self._texts(indices))
+            timer.stop()
             sums = comps if sums is None else jax.tree.map(jnp.add, sums, comps)
             nb += 1
         means = jax.tree.map(lambda s: s / max(nb, 1), sums or {})
-        return {f"{k}_train": float(v) for k, v in means.items()}
+        out = {f"{k}_train": float(v) for k, v in means.items()}
+        out.update(timer.summary())
+        return out
 
     def validation_loop(self, loader):
         sums, nb = None, 0
