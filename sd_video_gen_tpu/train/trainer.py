@@ -283,19 +283,31 @@ class Trainer:
             indices, frames = next(iter(train_loader))
             self.init_state(frames, seed, self._texts(indices))
         history = []
-        for epoch in range(1, epochs + 1):
-            train_m = self.train_loop(train_loader, rng)
-            val_m = self.validation_loop(val_loader)
-            metrics = {"epoch": epoch, **train_m, **val_m,
-                       "train_loss": train_m.get("total_train", 0.0),
-                       "val_loss": val_m.get("total_val", 0.0)}
-            # periodic in-training FVD (trainer_fvd.py:500 epoch%5==1 gate)
-            if fvd_every and fvd_i3d is not None and epoch % fvd_every == 1:
-                metrics["FVD score"] = self.fvd_validation(val_loader,
-                                                           *fvd_i3d)
-            self.logger.log(metrics, step=int(self.state.step))
-            history.append(metrics)
-            self._save(metrics, save_best)
+        try:
+            for epoch in range(1, epochs + 1):
+                train_m = self.train_loop(train_loader, rng)
+                val_m = self.validation_loop(val_loader)
+                metrics = {"epoch": epoch, **train_m, **val_m,
+                           "train_loss": train_m.get("total_train", 0.0),
+                           "val_loss": val_m.get("total_val", 0.0)}
+                # periodic in-training FVD (trainer_fvd.py:500 epoch%5==1 gate)
+                if fvd_every and fvd_i3d is not None and epoch % fvd_every == 1:
+                    metrics["FVD score"] = self.fvd_validation(val_loader,
+                                                               *fvd_i3d)
+                self.logger.log(metrics, step=int(self.state.step))
+                history.append(metrics)
+                self._save(metrics, save_best)
+        except (KeyboardInterrupt, SystemExit, Exception) as e:
+            # failure/preemption handling: persist an emergency checkpoint
+            # (params + opt state + step) so --resume continues exactly; the
+            # reference could only reload weights and lost Adam moments
+            # (SURVEY.md §5.3-5.4).
+            if self.state is not None:
+                path = self.save("interrupt")
+                self.logger.log({"event": "interrupt",
+                                 "error": type(e).__name__,
+                                 "checkpoint": path})
+            raise
         return history
 
     def _save(self, metrics, save_best: bool):

@@ -34,3 +34,15 @@ def video_to_imgs(path: str, max_frames: int | None = None) -> np.ndarray:
         frames.append(f)
     cap.release()
     return np.stack(frames) if frames else np.zeros((0,), np.uint8)
+
+
+def display_video(file_path: str, width: int = 512) -> str:
+    """HTML snippet embedding an mp4 (notebook helper; reference
+    utils/sd_utils.py:201-214). Returns the HTML string; in IPython do
+    ``IPython.display.HTML(display_video(...))``."""
+    import base64
+    with open(file_path, "rb") as f:
+        data = base64.b64encode(f.read()).decode()
+    return (f'<video width={width} controls>'
+            f'<source src="data:video/mp4;base64,{data}" type="video/mp4">'
+            f'</video>')
