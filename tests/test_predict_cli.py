@@ -1,0 +1,93 @@
+"""Prediction CLI paths not covered elsewhere: text-conditioned rollout,
+MNIST + naive baseline, future single-shot."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sd_video_gen_tpu.codecs import PixelCodec
+from sd_video_gen_tpu.models import FrameTransformer, FrameTransformerConfig
+from sd_video_gen_tpu.models.text_embed import ClassNameEmbedder
+from sd_video_gen_tpu.predict.predict import make_predict_fn
+
+
+def _codec_and_frames(rng, B=1, T=5):
+    codec = PixelCodec(32)
+    frames = jnp.asarray(rng.integers(0, 255, (B, T, 32, 32, 3)).astype(np.uint8))
+    return codec, frames
+
+
+def test_text_mode_rollout(rng):
+    codec, frames = _codec_and_frames(rng)
+    mc = FrameTransformerConfig(latent_dim=codec.latent_dim, dim_model=32,
+                                num_heads=4, num_encoder_layers=1,
+                                num_decoder_layers=1, dropout_p=0.0,
+                                mode="text", text_embed_dim=16)
+    model = FrameTransformer(mc)
+    emb = ClassNameEmbedder(5, 16)
+    te = emb(jnp.asarray([2], jnp.int32))
+    lat = codec.encode_batch(frames, use_sos=True)
+    params = model.init(jax.random.PRNGKey(0), lat, lat[:, :-1],
+                        text_embeds=te)
+    predict = make_predict_fn(model, codec, pred_frames=3, window=5,
+                              mode="text")
+    ctx, preds = predict(params, frames, te)
+    assert preds.shape == (1, 3, codec.latent_dim)
+    # different class id conditions differently
+    te2 = emb(jnp.asarray([4], jnp.int32))
+    _, preds2 = predict(params, frames, te2)
+    assert np.abs(np.asarray(preds) - np.asarray(preds2)).max() > 1e-5
+
+
+def test_mnist_naive_prediction(rng, tmp_path):
+    """predict_naive_and_mnist role: Identity baseline over MovingMNIST."""
+    from sd_video_gen_tpu.data.frame_datasets import MovingMNISTDataset
+    from sd_video_gen_tpu.models.identity import IdentityModel
+
+    arr = rng.integers(0, 255, (10, 5, 32, 32)).astype(np.uint8)
+    p = tmp_path / "mnist_test_seq.npy"
+    np.save(p, arr)
+    ds = MovingMNISTDataset(num_frames=5, path=str(p), stage="test",
+                            shuffle=False)
+    codec = PixelCodec(32)
+    model = IdentityModel()
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, codec.latent_dim)),
+                        jnp.zeros((1, 2, codec.latent_dim)))
+    predict = make_predict_fn(model, codec, pred_frames=3, window=5)
+    _, frames = ds[0]
+    ctx, preds = predict(params, jnp.asarray(frames)[None])
+    # identity: every predicted latent equals the last context latent
+    last = np.asarray(ctx[:, -1])
+    for t in range(3):
+        np.testing.assert_allclose(np.asarray(preds[:, t]), last, atol=1e-5)
+
+
+def test_bf16_training_step(rng):
+    """Flagship dtype path: bf16 compute + f32 params trains finitely."""
+    from sd_video_gen_tpu.config import Config
+    from sd_video_gen_tpu.ops import LossWeights
+    from sd_video_gen_tpu.train.trainer import make_train_step
+
+    cfg = Config(config_name="bf16", lr=1e-3, batch_size=2, frames_per_clip=5,
+                 frames_to_predict=2, frame_size=32, use_contrastive=True,
+                 lambda_contrastive=0.025)
+    codec = PixelCodec(32)
+    mc = FrameTransformerConfig(latent_dim=codec.latent_dim, dim_model=64,
+                                num_heads=4, num_encoder_layers=1,
+                                num_decoder_layers=1, dropout_p=0.1,
+                                dtype=jnp.bfloat16, param_dtype=jnp.float32)
+    model = FrameTransformer(mc)
+    w = LossWeights.from_config(cfg)
+    init_fn, step_fn = make_train_step(model, codec, w, cfg)
+    frames = jnp.asarray(rng.integers(0, 255, (2, 5, 32, 32, 3)).astype(np.uint8))
+    state = init_fn(jax.random.PRNGKey(0), frames)
+    # params stay f32 even with bf16 compute
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(state.params))
+    l0 = None
+    for i in range(3):
+        state, comps = step_fn(state, frames, jax.random.PRNGKey(1))
+        assert np.isfinite(float(comps["total"]))
+        l0 = l0 or float(comps["total"])
+    assert float(comps["total"]) < l0
