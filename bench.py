@@ -62,6 +62,8 @@ def build_pipeline():
 
 
 def main():
+    from sd_video_gen_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from sd_video_gen_tpu.data.synthetic import _render_sequence
 
     model, codec, pipeline = build_pipeline()

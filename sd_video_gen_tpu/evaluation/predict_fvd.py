@@ -53,6 +53,8 @@ def load_i3d(weights_path: str | None):
 
 
 def main(argv=None):
+    from sd_video_gen_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = build_arg_parser()
     parser.add_argument("--train_mode", type=str, default="ar")
     parser.add_argument("--codec", type=str, default="pixel")

@@ -134,6 +134,8 @@ def make_predict_fn(model, codec, pred_frames: int, window: int,
 
 
 def main(argv=None):
+    from sd_video_gen_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = build_arg_parser()
     parser.add_argument("--train_mode", type=str, default="ar",
                         choices=["ar", "future", "diff", "text"])

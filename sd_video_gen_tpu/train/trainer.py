@@ -356,6 +356,8 @@ def build_dataset(cfg: Config, args, stage: str):
 
 
 def main(argv=None):
+    from sd_video_gen_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = build_arg_parser()
     parser.add_argument("--train_mode", type=str, default="ar",
                         choices=["ar", "future", "diff", "text"])
