@@ -35,8 +35,11 @@ BASELINE_FPS = 150.0  # estimated reference 3090 fps, see module docstring
 FRAME_SIZE = 64
 PRED_FRAMES = 16
 CONTEXT = 5
-BATCH = 32     # throughput scenario: serve many streams per chip
-REPEATS = 8    # pipeline iterations chained inside one dispatch
+# Throughput scenario: serve many streams per chip. Measured knee on v5e:
+# B=32: 15.4K, 64: 22.4K, 128: 27.4K, 256: 29.8K, 512: 30.9K fps — the
+# rollout shifts from weight-bandwidth-bound to MXU-bound around B~128.
+BATCH = 256
+REPEATS = 4    # pipeline iterations chained inside one dispatch
 
 
 def build_pipeline():
