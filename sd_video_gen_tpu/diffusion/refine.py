@@ -28,16 +28,41 @@ from sd_video_gen_tpu.diffusion.sd import SDPipeline
 
 
 def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = None,
-                         num_inference_steps: int = 50, hi_res: int = 512):
+                         num_inference_steps: int = 50,
+                         hi_res: int | None = 512):
     """Build the refine hook for ar_rollout.
 
     Returns ``(refine_apply, refine_params)``:
       refine_apply(refine_params, flat_latents (B, latent_dim)) -> same shape.
     Pass ``refine_params`` through your jit boundary and close only over the
     *apply* function.
+
+    ``hi_res=None`` denoises directly on the native-resolution latent with no
+    pixel round trip — the evaluation harness variant (evaluation/
+    predict_fvd.py runs gen_i2i at native resolution with start_step=48).
     """
-    pipe = pipeline or SDPipeline(frame_size=hi_res)
+    pipe = pipeline or SDPipeline(frame_size=hi_res or cfg.frame_size)
     lo = cfg.frame_size
+
+    if hi_res is None:
+        h_lo = lo // 8
+        uncond = pipe.uncond_embeddings(1)
+
+        def refine_native(rp, flat_latents):
+            B = flat_latents.shape[0]
+            emb = jnp.concatenate(
+                [jnp.repeat(rp["uncond_emb"][:1], B, 0)] * 2, 0)
+            z = flat_latents.reshape(B, 4, h_lo, h_lo).transpose(0, 2, 3, 1)
+            den = pipe.i2i_scan(rp["unet"], z, emb,
+                                guidance_scale=jnp.float32(0.0),
+                                start_step=start_step,
+                                num_inference_steps=num_inference_steps,
+                                noise_rng=jax.random.PRNGKey(start_step))
+            return den.transpose(0, 3, 1, 2).reshape(B, -1)
+
+        params = {"vae": pipe.vae.params, "unet": pipe.unet_params,
+                  "uncond_emb": uncond}
+        return refine_native, params
 
     from sd_video_gen_tpu.diffusion.vae_codec import VAECodec
     vae_lo = VAECodec(lo, params=pipe.vae.params, cfg=pipe.vae.cfg)

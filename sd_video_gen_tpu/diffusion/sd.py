@@ -18,12 +18,10 @@ a loud warning is printed once).
 from __future__ import annotations
 
 import warnings
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-from sd_video_gen_tpu.codecs import SD_LATENT_SCALE
 from sd_video_gen_tpu.diffusion.schedulers import DDIMSchedule, LMSSchedule
 from sd_video_gen_tpu.diffusion.vae_codec import VAECodec
 from sd_video_gen_tpu.models.clip_text import (CLIPTextConfig, CLIPTextEncoder,

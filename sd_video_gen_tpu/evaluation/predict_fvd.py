@@ -82,10 +82,26 @@ def main(argv=None):
             cfg, mode="ar" if args.train_mode == "diff" else args.train_mode))
         params = load_model_params(cfg, args, model, codec, args.mode or "test")
 
+    refiner = None
+    if args.denoise:
+        # native-resolution partial denoise, the eval-harness variant
+        # (evaluation/predict_fvd.py hardcodes start_step=48, no 512 upscale)
+        from sd_video_gen_tpu.diffusion.refine import make_denoise_refiner
+        from sd_video_gen_tpu.diffusion.sd import SDPipeline
+        from sd_video_gen_tpu.diffusion import weights as W
+        load = lambda p, conv: conv(W.load_state_dict(p)) if p else None
+        pipe = SDPipeline(frame_size=cfg.frame_size,
+                          vae_params=load(args.vae_weights, W.convert_vae),
+                          unet_params=load(args.unet_weights, W.convert_unet),
+                          clip_params=load(args.clip_weights,
+                                           W.convert_clip_text))
+        refiner = make_denoise_refiner(cfg, args.denoise_start_step,
+                                       pipeline=pipe, hi_res=None)
+
     i3d, i3d_params = load_i3d(args.i3d_weights)
     predict = make_predict_fn(model, codec, args.pred_frames,
                               window=cfg.frames_per_clip,
-                              mode=args.train_mode)
+                              mode=args.train_mode, refiner=refiner)
 
     @jax.jit
     def features(videos_u8):

@@ -20,9 +20,6 @@ available.
 from __future__ import annotations
 
 import os
-import sys
-from functools import partial
-
 import numpy as np
 import cv2
 import jax

@@ -26,7 +26,6 @@ TPU-first design vs the reference hot loop (SURVEY.md §3.1):
 from __future__ import annotations
 
 import os
-import sys
 from functools import partial
 
 import jax
