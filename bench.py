@@ -24,6 +24,7 @@ latent grid; the transformer rollout dominates at this frame size.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -31,6 +32,12 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_FPS = 150.0  # estimated reference 3090 fps, see module docstring
+
+# SDVG_BENCH_INT8=1 switches the rollout to the int8 quantized serving path
+# (ops/quantized.py): measured 41.5K vs 29.8K fps at B=256 on v5e. Default
+# stays bf16 — numerics-identical to f32 within bf16 rounding, while int8
+# carries a few-percent activation drift (see tests/test_quantized.py).
+USE_INT8 = bool(os.environ.get("SDVG_BENCH_INT8"))
 
 FRAME_SIZE = 64
 PRED_FRAMES = 16
@@ -54,10 +61,19 @@ def build_pipeline():
                                 dtype=jnp.bfloat16)
     model = FrameTransformer(mc)
 
+    if USE_INT8:
+        from sd_video_gen_tpu.ops.quantized import quantized_ar_apply
+
+        def apply_fn(qp, src, tgt, tgt_mask=None):
+            return quantized_ar_apply(qp, src, tgt, tgt_mask=tgt_mask,
+                                      num_heads=8)
+    else:
+        apply_fn = model.apply
+
     def pipeline(params, frames_u8):
         """uint8 context frames -> uint8 predicted frames (B*P, H, W, 3)."""
         latents = codec.encode_batch(frames_u8, use_sos=True)
-        preds = ar_rollout(model.apply, params, latents, PRED_FRAMES,
+        preds = ar_rollout(apply_fn, params, latents, PRED_FRAMES,
                            window=CONTEXT)
         return codec.decode_latents(preds.reshape(-1, codec.latent_dim))
 
@@ -76,12 +92,16 @@ def main():
 
     sample_lat = codec.encode_batch(jnp.asarray(frames), use_sos=True)
     params = model.init(jax.random.PRNGKey(0), sample_lat, sample_lat[:, :-1])
-    # inference-time bf16 params: the AR rollout is parameter-bandwidth
-    # bound (~1.8GB of weights re-read per step) — halving the bytes nearly
-    # doubles frames/sec on a v5e chip.
-    params = jax.tree.map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
-        params)
+    if USE_INT8:
+        from sd_video_gen_tpu.ops.quantized import quantize_frame_transformer
+        params = quantize_frame_transformer(params)
+    else:
+        # inference-time bf16 params: at small batch the AR rollout is
+        # parameter-bandwidth bound (~1.8GB of weights re-read per step) —
+        # halving the bytes nearly doubles frames/sec on a v5e chip.
+        params = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+            params)
 
     @jax.jit
     def timed(params, frames_u8):

@@ -141,6 +141,8 @@ def main(argv=None):
     parser.add_argument("--naive", type=lambda s: s.lower() == "true",
                         default=False, help="Identity copy-last-frame baseline")
     parser.add_argument("--max_clips", type=int, default=4)
+    parser.add_argument("--batch_clips", type=int, default=1,
+                        help="clips rolled out per jitted call (serving batch)")
     args = parser.parse_args(argv)
     cfg = load_config(args.config, args.config_dir)
 
@@ -180,27 +182,35 @@ def main(argv=None):
         embedder = ClassNameEmbedder(101, 384)
 
     dataset = build_dataset(cfg, args, "test" if args.mode != "train" else "train")
+    n_clips = min(len(dataset), args.max_clips)
     n_done = 0
-    for i in range(min(len(dataset), args.max_clips)):
-        indices, frames = dataset[i]
-        frames = jnp.asarray(frames)[None]  # (1, T, H, W, 3)
+    # Serving path: clips are batched through ONE jitted rollout program
+    # (the reference looped batch_size=1 — prediction/predict.py:58).
+    for start in range(0, n_clips, args.batch_clips):
+        idxs = range(start, min(start + args.batch_clips, n_clips))
+        items = [dataset[i] for i in idxs]
+        frames = jnp.asarray(np.stack([it[1] for it in items]))
         text_embeds = None
         if embedder is not None:
-            label = indices[0] if isinstance(indices, (list, tuple)) else 0
-            text_embeds = embedder(jnp.asarray([int(label)], jnp.int32))
+            labels = [int(it[0][0]) if isinstance(it[0], (list, tuple)) else 0
+                      for it in items]
+            text_embeds = embedder(jnp.asarray(labels, jnp.int32))
         context, preds = predict(params, frames, text_embeds)
         # sequence layout matching the reference output: context minus last
         # frame, then predictions (prediction/predict.py:193)
         all_latents = jnp.concatenate([context[:, :-1], preds], axis=1)
-        is_pred = [False] * (context.shape[1] - 1) + [True] * preds.shape[1]
+        is_pred = ([False] * (context.shape[1] - 1) + [True] * preds.shape[1])
+        T_out = all_latents.shape[1]
         imgs = np.asarray(codec.decode_latents(
             all_latents.reshape(-1, codec.latent_dim)))
-        if args.save_output:
-            folder = save_frames(imgs, is_pred)
-            print("saved to:", folder)
-        if args.show:
-            show_frames(imgs, is_pred, args.fullscreen)
-        n_done += 1
+        for b in range(len(items)):
+            clip_imgs = imgs[b * T_out:(b + 1) * T_out]
+            if args.save_output:
+                folder = save_frames(clip_imgs, is_pred)
+                print("saved to:", folder)
+            if args.show:
+                show_frames(clip_imgs, is_pred, args.fullscreen)
+            n_done += 1
     print(f"predicted {args.pred_frames} frames for {n_done} clips")
 
 
