@@ -135,85 +135,125 @@ class TUp(tnn.Module):
 
 
 class TUNet(tnn.Module):
-    """Mirror of SD UNet topology at tiny scale, diffusers key names."""
+    """Parameterized mirror of the SD UNet topology, diffusers key names.
 
-    def __init__(self):
+    Builds the exact diffusers block/skip structure for any (blocks, layers):
+    cross-attention on all down blocks but the last / all up blocks but the
+    first, downsample between down blocks, upsample between up blocks, and
+    diffusers' [x, skip] concat bookkeeping.
+    """
+
+    def __init__(self, blocks=BLOCKS, layers=LAYERS):
         super().__init__()
+        self.blocks, self.layers = blocks, layers
+        n = len(blocks)
+        temb = blocks[0] * 4
         self.time_embedding = tnn.Module()
-        self.time_embedding.linear_1 = tnn.Linear(BLOCKS[0], TEMB)
-        self.time_embedding.linear_2 = tnn.Linear(TEMB, TEMB)
-        self.conv_in = tnn.Conv2d(4, BLOCKS[0], 3, padding=1)
+        self.time_embedding.linear_1 = tnn.Linear(blocks[0], temb)
+        self.time_embedding.linear_2 = tnn.Linear(temb, temb)
+        self.conv_in = tnn.Conv2d(4, blocks[0], 3, padding=1)
 
-        db0 = tnn.Module()
-        db0.resnets = tnn.ModuleList([TResnetT(BLOCKS[0], BLOCKS[0])])
-        db0.attentions = tnn.ModuleList([TTransformer2D(BLOCKS[0])])
-        db0.downsamplers = tnn.ModuleList([TDown(BLOCKS[0])])
-        db1 = tnn.Module()
-        db1.resnets = tnn.ModuleList([TResnetT(BLOCKS[0], BLOCKS[1])])
-        self.down_blocks = tnn.ModuleList([db0, db1])
+        def resnet(cin, cout):
+            global TEMB
+            TEMB_saved, globals()["TEMB"] = TEMB, temb
+            r = TResnetT(cin, cout)
+            globals()["TEMB"] = TEMB_saved
+            return r
+
+        skip_ch = [blocks[0]]
+        dbs = []
+        cin = blocks[0]
+        for i, cout in enumerate(blocks):
+            db = tnn.Module()
+            db.resnets = tnn.ModuleList()
+            if i < n - 1:
+                db.attentions = tnn.ModuleList()
+            for j in range(layers):
+                db.resnets.append(resnet(cin if j == 0 else cout, cout))
+                if i < n - 1:
+                    db.attentions.append(TTransformer2D(cout))
+                skip_ch.append(cout)
+            if i < n - 1:
+                db.downsamplers = tnn.ModuleList([TDown(cout)])
+                skip_ch.append(cout)
+            dbs.append(db)
+            cin = cout
+        self.down_blocks = tnn.ModuleList(dbs)
 
         self.mid_block = tnn.Module()
         self.mid_block.resnets = tnn.ModuleList(
-            [TResnetT(BLOCKS[1], BLOCKS[1]), TResnetT(BLOCKS[1], BLOCKS[1])])
-        self.mid_block.attentions = tnn.ModuleList([TTransformer2D(BLOCKS[1])])
+            [resnet(blocks[-1], blocks[-1]), resnet(blocks[-1], blocks[-1])])
+        self.mid_block.attentions = tnn.ModuleList(
+            [TTransformer2D(blocks[-1])])
 
-        # up block 0 (plain, 16): skips popped: d1r0(16), d0down(8)
-        ub0 = tnn.Module()
-        ub0.resnets = tnn.ModuleList([TResnetT(BLOCKS[1] + BLOCKS[1], BLOCKS[1]),
-                                      TResnetT(BLOCKS[1] + BLOCKS[0], BLOCKS[1])])
-        ub0.upsamplers = tnn.ModuleList([TUp(BLOCKS[1])])
-        # up block 1 (attn, 8): skips: d0r0(8), conv_in(8)
-        ub1 = tnn.Module()
-        ub1.resnets = tnn.ModuleList([TResnetT(BLOCKS[1] + BLOCKS[0], BLOCKS[0]),
-                                      TResnetT(BLOCKS[0] + BLOCKS[0], BLOCKS[0])])
-        ub1.attentions = tnn.ModuleList([TTransformer2D(BLOCKS[0]),
-                                         TTransformer2D(BLOCKS[0])])
-        self.up_blocks = tnn.ModuleList([ub0, ub1])
+        rev = list(reversed(blocks))
+        ubs = []
+        cur = rev[0]
+        for i, cout in enumerate(rev):
+            ub = tnn.Module()
+            ub.resnets = tnn.ModuleList()
+            if i > 0:
+                ub.attentions = tnn.ModuleList()
+            for j in range(layers + 1):
+                skip = skip_ch.pop()
+                ub.resnets.append(resnet(cur + skip, cout))
+                cur = cout
+                if i > 0:
+                    ub.attentions.append(TTransformer2D(cout))
+            if i < n - 1:
+                ub.upsamplers = tnn.ModuleList([TUp(cout)])
+            ubs.append(ub)
+        self.up_blocks = tnn.ModuleList(ubs)
 
-        self.conv_norm_out = tnn.GroupNorm(GROUPS, BLOCKS[0], eps=1e-5)
-        self.conv_out = tnn.Conv2d(BLOCKS[0], 4, 3, padding=1)
+        self.conv_norm_out = tnn.GroupNorm(GROUPS, blocks[0], eps=1e-5)
+        self.conv_out = tnn.Conv2d(blocks[0], 4, 3, padding=1)
 
     def forward(self, x, t, ctx):
-        temb = self.time_embedding.linear_2(
-            F.silu(self.time_embedding.linear_1(t_timestep_embedding(t, BLOCKS[0]))))
+        n = len(self.blocks)
+        temb = self.time_embedding.linear_2(F.silu(
+            self.time_embedding.linear_1(
+                t_timestep_embedding(t, self.blocks[0]))))
         x = self.conv_in(x)
         skips = [x]
-        x = self.down_blocks[0].resnets[0](x, temb)
-        x = self.down_blocks[0].attentions[0](x, ctx)
-        skips.append(x)
-        x = self.down_blocks[0].downsamplers[0](x)
-        skips.append(x)
-        x = self.down_blocks[1].resnets[0](x, temb)
-        skips.append(x)
+        for i, db in enumerate(self.down_blocks):
+            for j in range(self.layers):
+                x = db.resnets[j](x, temb)
+                if hasattr(db, "attentions"):
+                    x = db.attentions[j](x, ctx)
+                skips.append(x)
+            if hasattr(db, "downsamplers"):
+                x = db.downsamplers[0](x)
+                skips.append(x)
 
         x = self.mid_block.resnets[0](x, temb)
         x = self.mid_block.attentions[0](x, ctx)
         x = self.mid_block.resnets[1](x, temb)
 
-        for j in range(2):
-            x = self.up_blocks[0].resnets[j](
-                torch.cat([x, skips.pop()], dim=1), temb)
-        x = self.up_blocks[0].upsamplers[0](x)
-        for j in range(2):
-            x = self.up_blocks[1].resnets[j](
-                torch.cat([x, skips.pop()], dim=1), temb)
-            x = self.up_blocks[1].attentions[j](x, ctx)
+        for i, ub in enumerate(self.up_blocks):
+            for j in range(self.layers + 1):
+                x = ub.resnets[j](torch.cat([x, skips.pop()], dim=1), temb)
+                if hasattr(ub, "attentions"):
+                    x = ub.attentions[j](x, ctx)
+            if hasattr(ub, "upsamplers"):
+                x = ub.upsamplers[0](x)
 
         return self.conv_out(F.silu(self.conv_norm_out(x)))
 
 
-def test_unet_parity(rng):
+def _parity(rng, blocks, layers, spatial):
+    global TEMB
     torch.manual_seed(0)
-    tun = TUNet().eval()
+    TEMB = blocks[0] * 4
+    tun = TUNet(blocks, layers).eval()
     sd = {k: v.numpy() for k, v in tun.state_dict().items()}
-    params = convert_unet(sd, block_out=BLOCKS, layers_per_block=LAYERS)
+    params = convert_unet(sd, block_out=blocks, layers_per_block=layers)
 
-    cfg = UNetConfig(block_out_channels=BLOCKS, layers_per_block=LAYERS,
+    cfg = UNetConfig(block_out_channels=blocks, layers_per_block=layers,
                      attention_heads=HEADS, cross_attention_dim=CTX,
                      norm_num_groups=GROUPS)
     jun = UNet2DCondition(cfg)
 
-    x = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    x = rng.standard_normal((2, 4, spatial, spatial)).astype(np.float32)
     t = np.array([10, 500], np.int64)
     ctx = rng.standard_normal((2, 5, CTX)).astype(np.float32)
     with torch.no_grad():
@@ -221,7 +261,17 @@ def test_unet_parity(rng):
     ours = jun.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
                      jnp.asarray(t, jnp.int32), jnp.asarray(ctx))
     np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref,
-                               rtol=2e-4, atol=2e-5)
+                               rtol=3e-4, atol=3e-5)
+
+
+def test_unet_parity(rng):
+    _parity(rng, BLOCKS, LAYERS, spatial=8)
+
+
+def test_unet_parity_full_sd_topology(rng):
+    """Four blocks, two layers per block — the real SD-v1.4 graph shape
+    (CrossAttn x3 + plain down; plain + CrossAttn x3 up; 12 skips)."""
+    _parity(rng, (8, 16, 32, 32), 2, spatial=16)
 
 
 def test_unet_concat_order(rng):
