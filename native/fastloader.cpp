@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <mutex>
+#include <map>
 #include <queue>
 #include <random>
 #include <thread>
@@ -57,9 +58,10 @@ struct Loader {
   std::vector<std::thread> workers;
   std::mutex mu;
   std::condition_variable cv_ready, cv_free;
-  std::queue<Batch*> ready;
+  std::map<int64_t, Batch*> ready;  // keyed by batch index: in-order delivery
   std::vector<Batch*> freelist;
   std::atomic<int64_t> claim{0};
+  std::atomic<int64_t> delivered{0};
   std::atomic<bool> stop{false};
   size_t max_ready = 3;
 
@@ -78,7 +80,8 @@ struct Loader {
     for (auto& t : workers) if (t.joinable()) t.join();
     workers.clear();
     std::lock_guard<std::mutex> lk(mu);
-    while (!ready.empty()) { delete ready.front(); ready.pop(); }
+    for (auto& kv : ready) delete kv.second;
+    ready.clear();
     for (auto* b : freelist) delete b;
     freelist.clear();
   }
@@ -120,8 +123,16 @@ struct Loader {
       if (bi >= n_batches || stop.load()) return;
       Batch* b = nullptr;
       {
+        // bounded lookahead: a worker may only take a buffer when its batch
+        // id is within the ring window of the oldest undelivered batch —
+        // otherwise late ids could hoard every buffer while the id the
+        // consumer is blocked on starves (ordered-delivery deadlock).
         std::unique_lock<std::mutex> lk(mu);
-        cv_free.wait(lk, [&] { return stop.load() || !freelist.empty(); });
+        cv_free.wait(lk, [&] {
+          return stop.load() ||
+                 (!freelist.empty() &&
+                  bi < delivered.load() + (int64_t)max_ready);
+        });
         if (stop.load()) return;
         b = freelist.back();
         freelist.pop_back();
@@ -130,10 +141,9 @@ struct Loader {
       b->data.resize((size_t)b->n * clip_bytes);
       {
         std::lock_guard<std::mutex> lk(mu);
-        // deliver in claim order is not guaranteed; batches are independent
-        ready.push(b);
+        ready[bi] = b;
       }
-      cv_ready.notify_one();
+      cv_ready.notify_all();
     }
   }
 };
@@ -178,6 +188,7 @@ int64_t fl_start_epoch(void* handle, const int64_t* order, int64_t n,
   L->batch_size = batch_size;
   L->n_batches = (n + batch_size - 1) / batch_size;
   L->claim.store(0);
+  L->delivered.store(0);
   L->flip_augment = flip_augment != 0;
   L->seed = seed;
   L->max_ready = std::max(2, (int)prefetch);
@@ -197,11 +208,15 @@ int64_t fl_next_batch(void* handle, uint8_t* out_data, int64_t* out_indices,
   if (*served >= L->n_batches) return 0;
   Batch* b = nullptr;
   {
+    // deterministic epochs: block until the *next sequential* batch is ready
     std::unique_lock<std::mutex> lk(L->mu);
-    L->cv_ready.wait(lk, [&] { return L->stop.load() || !L->ready.empty(); });
-    if (L->stop.load() && L->ready.empty()) return -1;
-    b = L->ready.front();
-    L->ready.pop();
+    const int64_t want = *served;
+    L->cv_ready.wait(lk, [&] {
+      return L->stop.load() || L->ready.count(want) > 0;
+    });
+    if (L->stop.load() && L->ready.count(want) == 0) return -1;
+    b = L->ready[want];
+    L->ready.erase(want);
   }
   const int64_t n = b->n;
   memcpy(out_data, b->data.data(), (size_t)n * L->clip_bytes);
@@ -210,7 +225,8 @@ int64_t fl_next_batch(void* handle, uint8_t* out_data, int64_t* out_indices,
     std::lock_guard<std::mutex> lk(L->mu);
     L->freelist.push_back(b);
   }
-  L->cv_free.notify_one();
+  L->delivered.fetch_add(1);
+  L->cv_free.notify_all();
   *served += 1;
   return n;
 }
