@@ -181,6 +181,22 @@ def main(argv=None):
         from sd_video_gen_tpu.models.text_embed import ClassNameEmbedder
         embedder = ClassNameEmbedder(101, 384)
 
+    if args.mesh:
+        # multi-chip serving: replicate params, shard the clip batch over
+        # the data axis; XLA partitions the whole rollout program.
+        from sd_video_gen_tpu.parallel import (make_mesh, batch_sharding,
+                                               replicated)
+        mesh = make_mesh(args.mesh)
+        params = jax.device_put(params, replicated(mesh))
+        base_predict = predict
+        b_shard = batch_sharding(mesh)
+
+        def predict(p, frames, text_embeds=None):
+            frames = jax.device_put(frames, b_shard)
+            if text_embeds is not None:
+                text_embeds = jax.device_put(text_embeds, b_shard)
+            return base_predict(p, frames, text_embeds)
+
     dataset = build_dataset(cfg, args, "test" if args.mode != "train" else "train")
     n_clips = min(len(dataset), args.max_clips)
     n_done = 0

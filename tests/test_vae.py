@@ -125,18 +125,19 @@ class TUpBlock(tnn.Module):
 
 
 class TEncoder(tnn.Module):
-    def __init__(self):
+    def __init__(self, blocks=None):
         super().__init__()
-        self.conv_in = tnn.Conv2d(3, BLOCKS[0], 3, padding=1)
-        blocks = []
-        cin = BLOCKS[0]
-        for i, cout in enumerate(BLOCKS):
-            blocks.append(TDownBlock(cin, cout, last=(i == len(BLOCKS) - 1)))
+        blocks = blocks or BLOCKS
+        self.conv_in = tnn.Conv2d(3, blocks[0], 3, padding=1)
+        mods = []
+        cin = blocks[0]
+        for i, cout in enumerate(blocks):
+            mods.append(TDownBlock(cin, cout, last=(i == len(blocks) - 1)))
             cin = cout
-        self.down_blocks = tnn.ModuleList(blocks)
-        self.mid_block = TMid(BLOCKS[-1])
-        self.conv_norm_out = tnn.GroupNorm(GROUPS, BLOCKS[-1], eps=1e-6)
-        self.conv_out = tnn.Conv2d(BLOCKS[-1], 2 * LATENT, 3, padding=1)
+        self.down_blocks = tnn.ModuleList(mods)
+        self.mid_block = TMid(blocks[-1])
+        self.conv_norm_out = tnn.GroupNorm(GROUPS, blocks[-1], eps=1e-6)
+        self.conv_out = tnn.Conv2d(blocks[-1], 2 * LATENT, 3, padding=1)
 
     def forward(self, x):
         x = self.conv_in(x)
@@ -147,9 +148,9 @@ class TEncoder(tnn.Module):
 
 
 class TDecoder(tnn.Module):
-    def __init__(self):
+    def __init__(self, blocks=None):
         super().__init__()
-        ch = list(reversed(BLOCKS))
+        ch = list(reversed(blocks or BLOCKS))
         self.conv_in = tnn.Conv2d(LATENT, ch[0], 3, padding=1)
         self.mid_block = TMid(ch[0])
         blocks = []
@@ -169,23 +170,48 @@ class TDecoder(tnn.Module):
 
 
 class TVAE(tnn.Module):
-    def __init__(self):
+    def __init__(self, blocks=None):
         super().__init__()
-        self.encoder = TEncoder()
-        self.decoder = TDecoder()
+        self.encoder = TEncoder(blocks)
+        self.decoder = TDecoder(blocks)
         self.quant_conv = tnn.Conv2d(2 * LATENT, 2 * LATENT, 1)
         self.post_quant_conv = tnn.Conv2d(LATENT, LATENT, 1)
 
 
-def _models(seed=0):
+def _models(seed=0, blocks=None, layers=None):
+    global LAYERS
     torch.manual_seed(seed)
-    tvae = TVAE().eval()
+    blocks = blocks or BLOCKS
+    saved, LAYERS = LAYERS, (layers or LAYERS)
+    try:
+        tvae = TVAE(blocks).eval()
+    finally:
+        LAYERS, layers = saved, (layers or saved)
     sd = {k: v.detach().numpy() for k, v in tvae.state_dict().items()}
-    params = convert_vae(sd, block_out=BLOCKS, layers_per_block=LAYERS)
-    cfg = VAEConfig(block_out_channels=BLOCKS, layers_per_block=LAYERS,
+    params = convert_vae(sd, block_out=blocks, layers_per_block=layers)
+    cfg = VAEConfig(block_out_channels=blocks, layers_per_block=layers,
                     norm_num_groups=GROUPS, latent_channels=LATENT)
     jvae = AutoencoderKL(cfg)
     return tvae, jvae, params
+
+
+def test_parity_full_sd_topology(rng):
+    """Four blocks, two layers per block — the real SD-v1.4 VAE graph."""
+    tvae, jvae, params = _models(blocks=(4, 8, 16, 16), layers=2)
+    x = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        tm = tvae.quant_conv(tvae.encoder(torch.tensor(x)))[:, :LATENT].numpy()
+    jm, _ = jvae.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       method=AutoencoderKL.encode)
+    np.testing.assert_allclose(np.asarray(jm).transpose(0, 3, 1, 2), tm,
+                               rtol=3e-4, atol=3e-5)
+    z = rng.standard_normal((1, LATENT, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        td = tvae.decoder(tvae.post_quant_conv(torch.tensor(z))).numpy()
+    jd = jvae.apply(params, jnp.asarray(z.transpose(0, 2, 3, 1)),
+                    method=AutoencoderKL.decode)
+    np.testing.assert_allclose(np.asarray(jd).transpose(0, 3, 1, 2), td,
+                               rtol=3e-4, atol=3e-5)
 
 
 def test_encoder_parity(rng):
