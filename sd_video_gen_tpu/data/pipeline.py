@@ -46,8 +46,10 @@ class BatchLoader:
 
     def __len__(self) -> int:
         take = max(1, int(len(self.dataset) * self.epoch_ratio))
-        if self.drop_last:
+        if self.drop_last and take >= self.batch_size:
             return take // self.batch_size
+        # fewer clips than one batch: still yield the short batch instead of
+        # a silent empty epoch
         return (take + self.batch_size - 1) // self.batch_size
 
     def _assemble(self, idxs: Sequence[int]):
@@ -63,8 +65,7 @@ class BatchLoader:
             return
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(nb)]
-        if not self.drop_last and len(order) > nb * self.batch_size:
-            batches.append(order[nb * self.batch_size:])
+        batches = [b for b in batches if len(b)]
 
         if self.prefetch <= 0:
             for b in batches:
