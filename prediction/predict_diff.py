@@ -1,0 +1,6 @@
+"""python -m prediction.predict_diff — residual-model AR prediction."""
+import sys
+from sd_video_gen_tpu.predict.predict import main
+
+if __name__ == "__main__":
+    main(sys.argv[1:] + ["--train_mode", "diff"])

@@ -1,0 +1,72 @@
+"""Odds and ends: jit_rollout helper, I3D checkpoint-file load path,
+compilation-cache helper."""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+
+from sd_video_gen_tpu.models import FrameTransformer, FrameTransformerConfig
+from sd_video_gen_tpu.ops.rollout import ar_rollout, jit_rollout
+
+
+def test_jit_rollout_helper(rng):
+    cfg = FrameTransformerConfig(latent_dim=16, dim_model=16, num_heads=4,
+                                 num_encoder_layers=1, num_decoder_layers=1,
+                                 dropout_p=0.0, dim_feedforward=16)
+    model = FrameTransformer(cfg)
+    ctx = jnp.asarray(rng.standard_normal((1, 6, 16)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), ctx, ctx)
+    f = jit_rollout(model.apply, pred_frames=2, window=5)
+    out = f(params, ctx)
+    ref = ar_rollout(model.apply, params, ctx, 2, window=5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_load_i3d_from_torch_file(tmp_path, rng):
+    """eval CLI --i3d_weights path: torch .pt state dict -> converted params."""
+    from sd_video_gen_tpu.models.i3d import InceptionI3d, I3DConfig
+    from sd_video_gen_tpu.evaluation.predict_fvd import load_i3d
+
+    # fabricate a correctly-shaped torch state dict from our param tree
+    model = InceptionI3d(I3DConfig())
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 9, 224, 224, 3), jnp.float32))
+    sd = {}
+    p = shapes["params"]
+
+    def emit(prefix, unit):
+        kt, kh, kw, ci, co = unit["conv3d"]["kernel"].shape
+        sd[prefix + ".conv3d.weight"] = torch.zeros(co, ci, kt, kh, kw)
+        if "bias" in unit["conv3d"]:
+            sd[prefix + ".conv3d.bias"] = torch.zeros(co)
+        if "bn_scale" in unit:
+            for tname, oname in [("weight", "bn_scale"), ("bias", "bn_bias"),
+                                 ("running_mean", "bn_mean"),
+                                 ("running_var", "bn_var")]:
+                sd[prefix + ".bn." + tname] = torch.zeros(
+                    unit[oname].shape[0])
+
+    from sd_video_gen_tpu.models.i3d import _MIXED
+    for name in ("Conv3d_1a_7x7", "Conv3d_2b_1x1", "Conv3d_2c_3x3", "logits"):
+        emit(name, p[name])
+    for name, _ in _MIXED:
+        for b in ("b0", "b1a", "b1b", "b2a", "b2b", "b3b"):
+            emit(f"{name}.{b}", p[name][b])
+    path = tmp_path / "i3d.pt"
+    torch.save(sd, str(path))
+
+    i3d, params = load_i3d(str(path))
+    got = jax.tree.map(lambda a: a.shape, params)
+    want = jax.tree.map(lambda a: a.shape, dict(shapes))
+    assert got == want
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    from sd_video_gen_tpu.utils.cache import enable_compilation_cache
+    monkeypatch.delenv("SDVG_NO_COMPILATION_CACHE", raising=False)
+    p = enable_compilation_cache(str(tmp_path / "cache"))
+    assert p is not None
+    monkeypatch.setenv("SDVG_NO_COMPILATION_CACHE", "1")
+    assert enable_compilation_cache() is None
