@@ -52,7 +52,10 @@ def _decode_clips(video_path: str, frames_per_clip: int, frame_rate: float | Non
         if not ok:
             break
         if i % step == 0:
-            cur.append(cv2.resize(frame, (frame_size, frame_size)))
+            # INTER_NEAREST: the reference resized UCF frames with torch
+            # F.interpolate's default 'nearest' (trainers/trainer.py:397)
+            cur.append(cv2.resize(frame, (frame_size, frame_size),
+                                  interpolation=cv2.INTER_NEAREST))
             if len(cur) == frames_per_clip:
                 clips.append(np.stack(cur, 0))
                 cur = []

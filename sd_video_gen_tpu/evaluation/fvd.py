@@ -38,8 +38,11 @@ def preprocess_videos(videos_u8: jnp.ndarray, target: int = 224) -> jnp.ndarray:
     x = videos_u8.astype(jnp.float32)
     scale = target / min(H, W)
     nh, nw = int(round(H * scale)), int(round(W * scale))
+    # antialias=False matches torch F.interpolate bilinear (the VideoGPT FVD
+    # preprocessing) — jax's default antialiased downsample diverges by up to
+    # ~80/255 per pixel and would shift FVD values vs published numbers.
     x = jax.image.resize(x.reshape(B * T, H, W, C), (B * T, nh, nw, C),
-                         method="bilinear")
+                         method="bilinear", antialias=False)
     top, left = (nh - target) // 2, (nw - target) // 2
     x = x[:, top:top + target, left:left + target, :]
     x = x / 127.5 - 1.0
