@@ -37,8 +37,13 @@ class VAECodec:
                            * self.latent_hw * self.latent_hw)
         self.model = AutoencoderKL(self.cfg)
         if params is None:
-            # random init (no SD weights available): shape-correct stand-in
-            x = jnp.zeros((1, frame_size, frame_size, 3), jnp.float32)
+            # random init (no SD weights available): shape-correct stand-in.
+            # The VAE is fully convolutional, so init at a small spatial size
+            # regardless of frame_size (a 512px init forward costs minutes on
+            # a slow host for identical params).
+            factor = 2 ** (len(self.cfg.block_out_channels) - 1)
+            dummy = min(frame_size, 8 * factor)
+            x = jnp.zeros((1, dummy, dummy, 3), jnp.float32)
             params = self.model.init(jax.random.PRNGKey(0), x)
         self.params = params
 

@@ -41,13 +41,17 @@ def load_model_params(cfg, args, model, codec, mode_flag: str):
     (prediction/predict.py:51 naming)."""
     path = ckpt.checkpoint_path(args.checkpoint_dir, args.config, args.index,
                                 mode_flag or args.mode or "test")
-    # Build the abstract TrainState matching what the trainer saved.
+    # Build the abstract TrainState matching what the trainer saved —
+    # everything under eval_shape so no real VAE encode runs at CLI startup.
     sample = jnp.zeros((1, cfg.frames_per_clip, cfg.frame_size,
                         cfg.frame_size, 3), jnp.uint8)
-    latents = codec.encode_batch(sample, use_sos=True)
-    variables = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), latents, latents[:, :-1],
-                           tgt_mask=causal_mask(latents.shape[1] - 1)))
+
+    def _init(s):
+        latents = codec.encode_batch(s, use_sos=True)
+        return model.init(jax.random.PRNGKey(0), latents, latents[:, :-1],
+                          tgt_mask=causal_mask(latents.shape[1] - 1))
+
+    variables = jax.eval_shape(_init, sample)
     abstract = jax.eval_shape(
         lambda v: TrainState.create(apply_fn=model.apply, params=v,
                                     tx=optax.adam(cfg.lr)), variables)
