@@ -70,3 +70,16 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
     assert p is not None
     monkeypatch.setenv("SDVG_NO_COMPILATION_CACHE", "1")
     assert enable_compilation_cache() is None
+
+
+def test_profiler_trace_writes(tmp_path):
+    from sd_video_gen_tpu.utils.profiling import trace, StepTimer, annotate
+    with trace(str(tmp_path)) as d:
+        with annotate("unit"):
+            _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    import os
+    assert any(os.scandir(d))  # trace artifacts written
+    t = StepTimer()
+    t.start(); t.stop()
+    s = t.summary()
+    assert s["steps_timed"] == 1 and s["step_ms_mean"] >= 0
