@@ -251,6 +251,14 @@ class Trainer:
                                                      preprocess_videos)
         k = self.cfg.frames_to_predict
 
+        def pad_time(v, min_t: int = 9):
+            # I3D's temporal pyramid needs >=9 frames; repeat the clip to
+            # reach the minimum (applied identically to real and generated).
+            if v.shape[1] >= min_t:
+                return v
+            reps = -(-min_t // v.shape[1])
+            return jnp.tile(v, (1, reps, 1, 1, 1))[:, :min_t]
+
         @jax.jit
         def fvd_batch(params, frames):
             latents = encode_or_passthrough(self.codec, frames, self.mode != "future")
@@ -261,9 +269,9 @@ class Trainer:
             dec = self.codec.decode_latents(
                 pred_k.reshape(B * k, self.codec.latent_dim))
             dec = dec.reshape(B, k, *dec.shape[1:])
-            f_gen = i3d.apply(i3d_params, preprocess_videos(dec))
+            f_gen = i3d.apply(i3d_params, preprocess_videos(pad_time(dec)))
             f_real = i3d.apply(i3d_params,
-                               preprocess_videos(frames[:, -k:]))
+                               preprocess_videos(pad_time(frames[:, -k:])))
             return f_real, f_gen
 
         st_r, st_g = FeatureStats(400), FeatureStats(400)
@@ -290,7 +298,8 @@ class Trainer:
                            "train_loss": train_m.get("total_train", 0.0),
                            "val_loss": val_m.get("total_val", 0.0)}
                 # periodic in-training FVD (trainer_fvd.py:500 epoch%5==1 gate)
-                if fvd_every and fvd_i3d is not None and epoch % fvd_every == 1:
+                if fvd_every and fvd_i3d is not None and (
+                        fvd_every == 1 or epoch % fvd_every == 1):
                     metrics["FVD score"] = self.fvd_validation(val_loader,
                                                                *fvd_i3d)
                 self.logger.log(metrics, step=int(self.state.step))

@@ -1,0 +1,35 @@
+"""In-training FVD hook (trainer_fvd role): runs with short clips, fires on
+the right epochs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sd_video_gen_tpu.config import Config
+from sd_video_gen_tpu.data import (BouncingBallDataset, BatchLoader,
+                                   generate_bouncing_ball_tree)
+from sd_video_gen_tpu.train.trainer import Trainer
+from sd_video_gen_tpu.parallel import make_mesh
+from sd_video_gen_tpu.models.i3d import InceptionI3d, I3DConfig
+
+
+def test_fvd_validation_short_clips(tmp_path):
+    root = generate_bouncing_ball_tree(str(tmp_path / "d"), 2, 2, 10, 32)
+    cfg = Config(config_name="fvdtiny", lr=1e-3, batch_size=2, epochs=1,
+                 frames_per_clip=5, frames_to_predict=2, frame_size=32,
+                 dim_model=32, num_heads=4, num_encoder_layers=1,
+                 num_decoder_layers=1, dropout_p=0.0, use_contrastive=False)
+    mesh = make_mesh("data=1,model=1", devices=jax.devices()[:1])
+    trainer = Trainer(cfg, mode="ar", mesh=mesh,
+                      checkpoint_dir=str(tmp_path / "ckpt"), use_wandb=False)
+    tl = BatchLoader(BouncingBallDataset(5, 1, root, "train"), 2, seed=1)
+    vl = BatchLoader(BouncingBallDataset(5, 1, root, "test"), 2, seed=1)
+
+    i3d = InceptionI3d(I3DConfig())
+    i3d_params = i3d.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 9, 224, 224, 3)))
+    hist = trainer.fit(tl, vl, epochs=1, fvd_every=1,
+                       fvd_i3d=(i3d, i3d_params))
+    # k=2 (<9 frame minimum) works via temporal padding; score is finite
+    assert "FVD score" in hist[0]
+    assert np.isfinite(hist[0]["FVD score"])
