@@ -211,6 +211,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip_weights", type=str, default=None)
     p.add_argument("--tokenizer_dir", type=str, default=None)
     p.add_argument("--config_dir", type=str, default=None)
+    p.add_argument("--ucf_labels", type=str,
+                   default="data/UCF101TrainTestSplits-RecognitionTask/"
+                           "ucfTrainTestlist",
+                   help="UCF train/test split list dir (reference hardcoded "
+                        "this path — trainers/trainer.py:387)")
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=str, default=None,

@@ -125,7 +125,9 @@ class UCF101Dataset:
             if suffix is None:
                 raise ValueError(f"Invalid dataset name {args.dataset}")
             data_dir = os.path.join("data/UCF-101", suffix)
-        label_dir = "data/UCF101TrainTestSplits-RecognitionTask/ucfTrainTestlist"
+        label_dir = getattr(
+            args, "ucf_labels",
+            "data/UCF101TrainTestSplits-RecognitionTask/ucfTrainTestlist")
         n = cfg.frames_per_clip
         if getattr(args, "train_mode", "ar") == "future":
             n = cfg.frames_per_clip + cfg.frames_to_predict

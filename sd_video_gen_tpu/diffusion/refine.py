@@ -52,7 +52,8 @@ def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = Non
             B = flat_latents.shape[0]
             emb = jnp.concatenate(
                 [jnp.repeat(rp["uncond_emb"][:1], B, 0)] * 2, 0)
-            z = flat_latents.reshape(B, 4, h_lo, h_lo).transpose(0, 2, 3, 1)
+            c = pipe.vae.cfg.latent_channels
+            z = flat_latents.reshape(B, c, h_lo, h_lo).transpose(0, 2, 3, 1)
             den = pipe.i2i_scan(rp["unet"], z, emb,
                                 guidance_scale=jnp.float32(0.0),
                                 start_step=start_step,
@@ -87,7 +88,8 @@ def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = Non
         img_hi = jax.image.resize(img_lo, (B, hi_res, hi_res, 3),
                                   method="nearest")
         lat_hi = vae_hi.encode_frames(img_hi[:, None], params=vp)
-        lat_hi = lat_hi.reshape(B, 4, h_hi, h_hi).transpose(0, 2, 3, 1)
+        lc = pipe.vae.cfg.latent_channels
+        lat_hi = lat_hi.reshape(B, lc, h_hi, h_hi).transpose(0, 2, 3, 1)
         den = pipe.i2i_scan(rp["unet"], lat_hi, emb,
                             guidance_scale=jnp.float32(0.0),
                             start_step=start_step,

@@ -238,7 +238,8 @@ class SDPipeline:
         """(B, H, W, 3) uint8 -> (B, H/8, W/8, 4) scaled latents."""
         lat = self.vae.encode_frames(imgs_u8[:, None])  # (B,1,L)
         h = self.vae.latent_hw
-        return lat.reshape(-1, 4, h, h).transpose(0, 2, 3, 1)
+        c = self.vae.cfg.latent_channels
+        return lat.reshape(-1, c, h, h).transpose(0, 2, 3, 1)
 
     def _decode_pixels(self, latents_nhwc):
         flat = latents_nhwc.transpose(0, 3, 1, 2).reshape(

@@ -46,10 +46,15 @@ def load_model_params(cfg, args, model, codec, mode_flag: str):
     sample = jnp.zeros((1, cfg.frames_per_clip, cfg.frame_size,
                         cfg.frame_size, 3), jnp.uint8)
 
+    text_dummy = None
+    if getattr(getattr(model, "cfg", None), "mode", None) == "text":
+        text_dummy = jnp.zeros((1, model.cfg.text_embed_dim), jnp.float32)
+
     def _init(s):
         latents = codec.encode_batch(s, use_sos=True)
         return model.init(jax.random.PRNGKey(0), latents, latents[:, :-1],
-                          tgt_mask=causal_mask(latents.shape[1] - 1))
+                          tgt_mask=causal_mask(latents.shape[1] - 1),
+                          text_embeds=text_dummy)
 
     variables = jax.eval_shape(_init, sample)
     abstract = jax.eval_shape(
