@@ -46,9 +46,16 @@ def load_i3d(weights_path: str | None):
     else:
         warnings.warn("no I3D weights — random init; FVD values are only "
                       "self-consistent, not comparable to published numbers")
-        # I3D needs >=9 frames and >=224px for the final (2,7,7) VALID pool
+        # materialize from abstract shapes: a real .init would run the full
+        # 224px forward just to produce parameters
+        # (I3D needs >=9 frames and >=224px for the final (2,7,7) VALID pool)
         x = jnp.zeros((1, 9, 224, 224, 3))
-        params = i3d.init(jax.random.PRNGKey(0), x)
+        shapes = jax.eval_shape(i3d.init, jax.random.PRNGKey(0), x)
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+        keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
+        params = jax.tree_util.tree_unflatten(treedef, [
+            jax.random.normal(k, l.shape, l.dtype) * 0.05
+            for k, l in zip(keys, leaves)])
     return i3d, params
 
 
