@@ -61,6 +61,39 @@ class SDPipeline:
         self.clip_params = clip_params
         self._jit_cache: dict = {}
 
+    @classmethod
+    def from_pretrained_dir(cls, path: str, frame_size: int = 512,
+                            dtype=jnp.float32) -> "SDPipeline":
+        """Load a standard diffusers model directory layout:
+        <path>/{vae,unet}/diffusion_pytorch_model.(safetensors|bin),
+        <path>/text_encoder/(model.safetensors|pytorch_model.bin),
+        <path>/tokenizer/. Missing components fall back to random init."""
+        import os
+        from sd_video_gen_tpu.diffusion import weights as W
+
+        def find(sub, names):
+            for n in names:
+                p = os.path.join(path, sub, n)
+                if os.path.exists(p):
+                    return p
+            return None
+
+        def load(sub, names, conv):
+            p = find(sub, names)
+            return conv(W.load_state_dict(p)) if p else None
+
+        model_files = ("diffusion_pytorch_model.safetensors",
+                       "diffusion_pytorch_model.bin")
+        tok = os.path.join(path, "tokenizer")
+        return cls(
+            frame_size=frame_size, dtype=dtype,
+            vae_params=load("vae", model_files, W.convert_vae),
+            unet_params=load("unet", model_files, W.convert_unet),
+            clip_params=load("text_encoder",
+                             ("model.safetensors", "pytorch_model.bin"),
+                             W.convert_clip_text),
+            tokenizer_dir=tok if os.path.isdir(tok) else None)
+
     # -- text ---------------------------------------------------------------
     def tokenize(self, prompts: list[str]) -> jnp.ndarray:
         """Token ids; '' needs no tokenizer data (the video --denoise path)."""
