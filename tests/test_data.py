@@ -99,3 +99,24 @@ def test_sos_token():
     assert with_sos.shape == (2, 6, 16)
     np.testing.assert_array_equal(np.asarray(with_sos[:, 0]),
                                   np.full((2, 16), SOS_VALUE))
+
+
+def test_kitti_center_crop(tmp_path):
+    """KITTI per-frame transform: center square crop + resize
+    (loaders/kitti_loader.py:89-100 semantics)."""
+    import cv2
+    from sd_video_gen_tpu.data import KittiDataset
+    d = tmp_path / "train" / "0001"
+    d.mkdir(parents=True)
+    # wide image: left third black, middle third gray, right third white
+    img = np.zeros((30, 90, 3), np.uint8)
+    img[:, 30:60] = 128
+    img[:, 60:] = 255
+    for t in range(3):
+        cv2.imwrite(str(d / f"0001{t:03d}.png"), img)
+    ds = KittiDataset(num_frames=3, stride=1, dir=str(tmp_path),
+                      stage="train", shuffle=False, frame_size=16)
+    _, frames = ds[0]
+    assert frames.shape == (3, 16, 16, 3)
+    # center square of a 30x90 image is the gray middle band
+    assert abs(int(frames[0, 8, 8, 0]) - 128) <= 1
