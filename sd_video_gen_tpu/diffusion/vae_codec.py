@@ -80,6 +80,6 @@ class VAECodec:
         return jnp.round(x * 255.0).astype(jnp.uint8)
 
     def encode_batch(self, frames: jnp.ndarray, use_sos: bool = True,
-                     rng=None) -> jnp.ndarray:
-        lat = self.encode_frames(frames, rng=rng)
+                     rng=None, params=None) -> jnp.ndarray:
+        lat = self.encode_frames(frames, rng=rng, params=params)
         return add_sos(lat) if use_sos else lat

@@ -114,12 +114,23 @@ def main(argv=None):
     def features(videos_u8):
         return i3d.apply(i3d_params, preprocess_videos(videos_u8))
 
+    codec_params = getattr(codec, "params", None)
+
     @jax.jit
+    def decode_impl(cparams, flat):
+        if cparams is not None:
+            return codec.decode_latents(flat, params=cparams)
+        return codec.decode_latents(flat)
+
     def gen_video(params, context_frames):
-        """context uint8 -> [context + decoded predictions] uint8 video."""
+        """context uint8 -> [context + decoded predictions] uint8 video.
+
+        Composed from the already-jitted predict/decode programs eagerly —
+        wrapping them in one more jit would re-embed the codec weights as
+        constants of the outer jaxpr."""
         _, preds = predict(params, context_frames)
         B, P, L = preds.shape
-        dec = codec.decode_latents(preds.reshape(B * P, L))
+        dec = decode_impl(codec_params, preds.reshape(B * P, L))
         dec = dec.reshape(B, P, *dec.shape[1:])
         return jnp.concatenate([context_frames, dec], axis=1)
 

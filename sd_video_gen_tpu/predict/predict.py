@@ -116,10 +116,15 @@ def make_predict_fn(model, codec, pred_frames: int, window: int,
             return out.at[:, -1].add(tgt[:, -1])
 
     refine_apply, refine_params = refiner if refiner is not None else (None, None)
+    codec_params = getattr(codec, "params", None)  # thread VAE weights as args
 
     @jax.jit
-    def predict_impl(params, rparams, frames_u8, text_embeds=None):
-        latents = codec.encode_batch(frames_u8, use_sos=True)
+    def predict_impl(params, rparams, cparams, frames_u8, text_embeds=None):
+        if cparams is not None:
+            latents = codec.encode_batch(frames_u8, use_sos=True,
+                                         params=cparams)
+        else:
+            latents = codec.encode_batch(frames_u8, use_sos=True)
         kwargs = {"text_embeds": text_embeds} if text_embeds is not None else {}
         refine_fn = (None if refine_apply is None
                      else lambda x: refine_apply(rparams, x))
@@ -134,7 +139,8 @@ def make_predict_fn(model, codec, pred_frames: int, window: int,
         return latents[:, 1:], preds
 
     def predict(params, frames_u8, text_embeds=None):
-        return predict_impl(params, refine_params, frames_u8, text_embeds)
+        return predict_impl(params, refine_params, codec_params, frames_u8,
+                            text_embeds)
 
     return predict
 

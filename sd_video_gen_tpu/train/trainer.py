@@ -48,12 +48,17 @@ class TrainState(train_state.TrainState):
     pass
 
 
-def encode_or_passthrough(codec, batch, use_sos: bool):
+def encode_or_passthrough(codec, batch, use_sos: bool, codec_params=None):
     """uint8 frames (B,T,H,W,3) -> latents via codec; f32 (B,T,L) batches
-    (from a LatentCacheDataset) pass through with only SOS handling."""
+    (from a LatentCacheDataset) pass through with only SOS handling.
+
+    ``codec_params`` threads VAE weights through jit boundaries as arguments
+    (closing over an 84M-param tree embeds ~336MB of jaxpr constants)."""
     from sd_video_gen_tpu.codecs import add_sos
     if batch.ndim == 3:  # pre-encoded latents
         return add_sos(batch) if use_sos else batch
+    if codec_params is not None:
+        return codec.encode_batch(batch, use_sos=use_sos, params=codec_params)
     return codec.encode_batch(batch, use_sos=use_sos)
 
 
@@ -89,9 +94,11 @@ def make_train_step(model, codec, loss_w: LossWeights, cfg: Config,
     k = cfg.frames_to_predict
     use_sos = mode != "future"
     tx = tx or optax.adam(lr if lr is not None else cfg.lr)
+    codec_params = getattr(codec, "params", None)
 
     def init_fn(rng, sample_frames, text_embeds=None):
-        latents = encode_or_passthrough(codec, jnp.asarray(sample_frames), use_sos)
+        latents = encode_or_passthrough(codec, jnp.asarray(sample_frames),
+                                        use_sos, codec_params)
         if mode == "future":
             src = latents[:, :-k]
             variables = model.init(rng, src, src, tgt_mask=None,
@@ -104,20 +111,23 @@ def make_train_step(model, codec, loss_w: LossWeights, cfg: Config,
         return TrainState.create(apply_fn=model.apply, params=variables,
                                  tx=tx)
 
-    def loss_fn(params, frames, rng, text_embeds):
-        latents = encode_or_passthrough(codec, frames, use_sos)
+    def loss_fn(params, frames, rng, text_embeds, cparams):
+        latents = encode_or_passthrough(codec, frames, use_sos, cparams)
         pred_k, target_k = _predictions_and_targets(
             model, params, latents, k, mode, rngs={"dropout": rng},
             text_embeds=text_embeds, deterministic=False)
         return composite_loss(pred_k, target_k, loss_w)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step_fn(state, frames, rng, text_embeds=None):
+    def step_impl(state, frames, rng, text_embeds, cparams):
         rng = jax.random.fold_in(rng, state.step)
         (_, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, frames, rng, text_embeds)
+            state.params, frames, rng, text_embeds, cparams)
         state = state.apply_gradients(grads=grads)
         return state, comps
+
+    def step_fn(state, frames, rng, text_embeds=None):
+        return step_impl(state, frames, rng, text_embeds, codec_params)
 
     return init_fn, step_fn
 
@@ -126,15 +136,19 @@ def make_eval_step(model, codec, loss_w: LossWeights, cfg: Config,
                    mode: str = "ar"):
     k = cfg.frames_to_predict
     use_sos = mode != "future"
+    codec_params = getattr(codec, "params", None)
 
     @jax.jit
-    def eval_fn(params, frames, text_embeds=None):
-        latents = encode_or_passthrough(codec, frames, use_sos)
+    def eval_impl(params, frames, text_embeds, cparams):
+        latents = encode_or_passthrough(codec, frames, use_sos, cparams)
         pred_k, target_k = _predictions_and_targets(
             model, params, latents, k, mode, rngs=None,
             text_embeds=text_embeds, deterministic=True)
         _, comps = composite_loss(pred_k, target_k, loss_w)
         return comps
+
+    def eval_fn(params, frames, text_embeds=None):
+        return eval_impl(params, frames, text_embeds, codec_params)
 
     return eval_fn
 
@@ -259,18 +273,22 @@ class Trainer:
             reps = -(-min_t // v.shape[1])
             return jnp.tile(v, (1, reps, 1, 1, 1))[:, :min_t]
 
+        codec_params = getattr(self.codec, "params", None)
+
         @jax.jit
-        def fvd_batch(params, frames):
-            latents = encode_or_passthrough(self.codec, frames, self.mode != "future")
+        def fvd_batch(params, cparams, i3d_p, frames):
+            latents = encode_or_passthrough(self.codec, frames,
+                                            self.mode != "future", cparams)
             pred_k, _ = _predictions_and_targets(
                 self.model, params, latents, k, self.mode, rngs=None,
                 deterministic=True)
             B = pred_k.shape[0]
-            dec = self.codec.decode_latents(
-                pred_k.reshape(B * k, self.codec.latent_dim))
+            flat = pred_k.reshape(B * k, self.codec.latent_dim)
+            dec = (self.codec.decode_latents(flat, params=cparams)
+                   if cparams is not None else self.codec.decode_latents(flat))
             dec = dec.reshape(B, k, *dec.shape[1:])
-            f_gen = i3d.apply(i3d_params, preprocess_videos(pad_time(dec)))
-            f_real = i3d.apply(i3d_params,
+            f_gen = i3d.apply(i3d_p, preprocess_videos(pad_time(dec)))
+            f_real = i3d.apply(i3d_p,
                                preprocess_videos(pad_time(frames[:, -k:])))
             return f_real, f_gen
 
@@ -278,8 +296,8 @@ class Trainer:
         for bi, (_, frames) in enumerate(loader):
             if bi >= max_batches:
                 break
-            f_real, f_gen = fvd_batch(self.state.params,
-                                      self._put_batch(frames))
+            f_real, f_gen = fvd_batch(self.state.params, codec_params,
+                                      i3d_params, self._put_batch(frames))
             st_r, st_g = st_r.append(f_real), st_g.append(f_gen)
         return compute_fvd(st_r, st_g)
 
