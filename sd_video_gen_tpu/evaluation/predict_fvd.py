@@ -78,7 +78,12 @@ def main(argv=None):
         args.pred_frames = 4
     cfg = load_config(args.config, args.config_dir)
 
-    codec = make_codec(cfg, args.codec)
+    vae_params = None
+    if args.codec == "vae" and args.vae_weights:
+        from sd_video_gen_tpu.diffusion.weights import (load_state_dict,
+                                                        convert_vae)
+        vae_params = convert_vae(load_state_dict(args.vae_weights))
+    codec = make_codec(cfg, args.codec, vae_params=vae_params)
     if args.naive:
         model = IdentityModel()
         params = model.init(jax.random.PRNGKey(0),
