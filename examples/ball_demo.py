@@ -10,6 +10,11 @@ Usage: python examples/ball_demo.py [--epochs 12] [--size 64]
 """
 
 import argparse
+import os
+import sys
+
+# runnable as `python examples/ball_demo.py` without installing the package
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
