@@ -240,7 +240,10 @@ class Trainer:
             sums = comps if sums is None else jax.tree.map(jnp.add, sums, comps)
             nb += 1
         means = jax.tree.map(lambda s: s / max(nb, 1), sums or {})
-        out = {f"{k}_train": float(v) for k, v in means.items()}
+        # 'L1' capitalization matches the reference's metric names
+        # (trainers/trainer.py:186)
+        out = {f"{'L1' if k == 'l1' else k}_train": float(v)
+               for k, v in means.items()}
         out.update(timer.summary())
         return out
 
@@ -252,7 +255,8 @@ class Trainer:
             sums = comps if sums is None else jax.tree.map(jnp.add, sums, comps)
             nb += 1
         means = jax.tree.map(lambda s: s / max(nb, 1), sums or {})
-        return {f"{k}_val": float(v) for k, v in means.items()}
+        return {f"{'L1' if k == 'l1' else k}_val": float(v)
+                for k, v in means.items()}
 
     def fvd_validation(self, loader, i3d, i3d_params, max_batches: int = 8):
         """In-training FVD on teacher-forced predictions.
