@@ -51,11 +51,17 @@ def load_i3d(weights_path: str | None):
         # (I3D needs >=9 frames and >=224px for the final (2,7,7) VALID pool)
         x = jnp.zeros((1, 9, 224, 224, 3))
         shapes = jax.eval_shape(i3d.init, jax.random.PRNGKey(0), x)
-        leaves, treedef = jax.tree_util.tree_flatten(shapes)
-        keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
-        params = jax.tree_util.tree_unflatten(treedef, [
-            jax.random.normal(k, l.shape, l.dtype) * 0.05
-            for k, l in zip(keys, leaves)])
+        flat = jax.tree_util.tree_flatten_with_path(shapes)[0]
+        treedef = jax.tree_util.tree_structure(shapes)
+        keys = jax.random.split(jax.random.PRNGKey(0), len(flat))
+        leaves = []
+        for k, (path, l) in zip(keys, flat):
+            name = str(path[-1])
+            if "bn_var" in name or "bn_scale" in name:
+                leaves.append(jnp.ones(l.shape, l.dtype))  # variance must be >0
+            else:
+                leaves.append(jax.random.normal(k, l.shape, l.dtype) * 0.05)
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
     return i3d, params
 
 
@@ -127,13 +133,23 @@ def main(argv=None):
             return codec.decode_latents(flat, params=cparams)
         return codec.decode_latents(flat)
 
-    def gen_video(params, context_frames):
+    embedder = None
+    if args.train_mode == "text":
+        from sd_video_gen_tpu.models.text_embed import ClassNameEmbedder
+        embedder = ClassNameEmbedder(101, 384)
+
+    def gen_video(params, context_frames, indices):
         """context uint8 -> [context + decoded predictions] uint8 video.
 
         Composed from the already-jitted predict/decode programs eagerly —
         wrapping them in one more jit would re-embed the codec weights as
         constants of the outer jaxpr."""
-        _, preds = predict(params, context_frames)
+        text_embeds = None
+        if embedder is not None:
+            labels = [int(i[0]) if isinstance(i, (list, tuple)) else 0
+                      for i in indices]
+            text_embeds = embedder(jnp.asarray(labels, jnp.int32))
+        _, preds = predict(params, context_frames, text_embeds)
         B, P, L = preds.shape
         dec = decode_impl(codec_params, preds.reshape(B * P, L))
         dec = dec.reshape(B, P, *dec.shape[1:])
@@ -154,7 +170,7 @@ def main(argv=None):
             break
         frames = jnp.asarray(frames)
         context = frames[:, :cfg.frames_per_clip]
-        gen = gen_video(params, context)
+        gen = gen_video(params, context, indices)
         f_real = features(frames)
         f_gen = features(gen)
         if args.fvd_api == "streaming":
