@@ -275,9 +275,16 @@ class SDPipeline:
         return lat.reshape(-1, c, h, h).transpose(0, 2, 3, 1)
 
     def _decode_pixels(self, latents_nhwc):
-        flat = latents_nhwc.transpose(0, 3, 1, 2).reshape(
-            latents_nhwc.shape[0], -1)
-        return self.vae.decode_latents(flat)
+        """NHWC scaled latents of ANY spatial size -> uint8 pixels (the VAE is
+        fully convolutional; don't round-trip through the codec's fixed
+        frame_size flattening)."""
+        from sd_video_gen_tpu.codecs import SD_LATENT_SCALE
+        from sd_video_gen_tpu.models.vae import AutoencoderKL
+        z = latents_nhwc / SD_LATENT_SCALE
+        x = self.vae.model.apply(self.vae.params, z,
+                                 method=AutoencoderKL.decode)
+        x = jnp.clip(x.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+        return jnp.round(x * 255.0).astype(jnp.uint8)
 
     def perturb_latents(self, latents, scale=0.1, rng=None):
         """Latent jitter + renormalize (sd_utils:216-220)."""

@@ -116,3 +116,18 @@ def test_denoise_refiner_round_trip():
     out2 = jax.jit(refine_apply)(refine_params, flat)
     assert np.isfinite(np.asarray(out2)).all()
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=1e-4)
+
+
+def test_prompt_to_img_and_img_to_img(pipe, rng):
+    """Top-level generation surfaces (sd_utils:171-189, 269-294) at tiny scale."""
+    imgs = pipe.prompt_to_img("", height=16, width=16, num_inference_steps=2,
+                              guidance_scale=7.5, rng=jax.random.PRNGKey(0))
+    # tiny 2-block VAE: /8 latent grid in the API, decoded at 2x upsampling
+    assert imgs.dtype == np.uint8 and imgs.ndim == 4 and imgs.shape[0] == 1
+    assert np.isfinite(imgs.astype(np.float32)).all()
+
+    src = rng.integers(0, 255, (1, 32, 32, 3)).astype(np.uint8)
+    out = pipe.img_to_img("", img=jnp.asarray(src), height=32, width=32,
+                          num_inference_steps=4, guidance_scale=0.0,
+                          start_step=2, rng=jax.random.PRNGKey(1))
+    assert out.dtype == np.uint8 and out.shape[0] == 1
