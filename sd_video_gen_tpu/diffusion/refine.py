@@ -15,8 +15,8 @@ weights as jaxpr constants (catastrophic lowering time; observed >1h on a
 1-core host before this design).
 
 Resizes use nearest-neighbor on uint8 pixels, matching the reference's
-default F.interpolate mode. Noise comes from a fixed fold-in key per call
-site (the reference used unseeded torch.randn; ours is reproducible).
+default F.interpolate mode. Noise is drawn from a per-frame fold-in key (fresh noise each
+rollout step like the reference's torch.randn, but reproducible).
 """
 
 from __future__ import annotations
@@ -48,7 +48,7 @@ def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = Non
         h_lo = lo // 8
         uncond = pipe.uncond_embeddings(1)
 
-        def refine_native(rp, flat_latents):
+        def refine_native(rp, flat_latents, step=0):
             B = flat_latents.shape[0]
             emb = jnp.concatenate(
                 [jnp.repeat(rp["uncond_emb"][:1], B, 0)] * 2, 0)
@@ -58,7 +58,8 @@ def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = Non
                                 guidance_scale=jnp.float32(0.0),
                                 start_step=start_step,
                                 num_inference_steps=num_inference_steps,
-                                noise_rng=jax.random.PRNGKey(start_step))
+                                noise_rng=jax.random.fold_in(
+                                    jax.random.PRNGKey(start_step), step))
             return den.transpose(0, 3, 1, 2).reshape(B, -1)
 
         params = {"vae": pipe.vae.params, "unet": pipe.unet_params,
@@ -79,7 +80,7 @@ def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = Non
         "uncond_emb": pipe.uncond_embeddings(1),
     }
 
-    def refine_apply(rp, flat_latents: jnp.ndarray) -> jnp.ndarray:
+    def refine_apply(rp, flat_latents: jnp.ndarray, step=0) -> jnp.ndarray:
         B = flat_latents.shape[0]
         vp = rp["vae"]
         emb = jnp.concatenate([jnp.repeat(rp["uncond_emb"][:1], B, 0)] * 2, 0)
@@ -94,7 +95,8 @@ def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = Non
                             guidance_scale=jnp.float32(0.0),
                             start_step=start_step,
                             num_inference_steps=num_inference_steps,
-                            noise_rng=jax.random.PRNGKey(start_step))
+                            noise_rng=jax.random.fold_in(
+                                jax.random.PRNGKey(start_step), step))
         flat_hi = den.transpose(0, 3, 1, 2).reshape(B, -1)
         img_den = vae_hi.decode_latents(flat_hi, params=vp)     # (B, 512, 512, 3)
         img_back = jax.image.resize(img_den, (B, lo, lo, 3), method="nearest")

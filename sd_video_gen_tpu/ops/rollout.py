@@ -25,13 +25,17 @@ import jax.numpy as jnp
 from sd_video_gen_tpu.ops.masks import causal_mask
 
 
-def _predict_next(apply_fn, params, seq, refine_fn, model_kwargs):
-    """Full-sequence forward, take the last predicted latent (predict.py:16-42)."""
+def _predict_next(apply_fn, params, seq, refine_fn, model_kwargs, step):
+    """Full-sequence forward, take the last predicted latent (predict.py:16-42).
+
+    ``step`` is the rollout step index, forwarded to the refine hook so the
+    partial-denoise draws fresh noise per frame (the reference called
+    torch.randn anew for every prediction)."""
     mask = causal_mask(seq.shape[1])
     pred = apply_fn(params, seq, seq, tgt_mask=mask, **model_kwargs)
     nxt = pred[:, -1]
     if refine_fn is not None:
-        nxt = refine_fn(nxt)
+        nxt = refine_fn(nxt, step)
     return nxt
 
 
@@ -46,7 +50,8 @@ def ar_rollout(apply_fn: Callable, params, context: jnp.ndarray,
       context: (B, T0, L) — SOS + context-frame latents (encode_batch output).
       pred_frames: number of latents to generate (static).
       window: sliding context window in frames (reference keeps the last 5).
-      refine_fn: optional (B, L) -> (B, L) per-step hook (partial denoise).
+      refine_fn: optional (latents (B, L), step) -> (B, L) per-step hook
+        (partial denoise; step indexes the rollout for per-frame noise keys).
 
     Returns: (B, pred_frames, L) predicted latents.
     """
@@ -54,7 +59,8 @@ def ar_rollout(apply_fn: Callable, params, context: jnp.ndarray,
     B, T0, L = context.shape
 
     # Step 0 on [SOS + context] exactly as the reference's first iteration.
-    first = _predict_next(apply_fn, params, context, refine_fn, model_kwargs)
+    first = _predict_next(apply_fn, params, context, refine_fn, model_kwargs,
+                          jnp.int32(0))
 
     # Subsequent steps slide over real frames only (no SOS): buffer holds the
     # last `window` latents of (context-without-SOS minus last) + preds.
@@ -65,14 +71,14 @@ def ar_rollout(apply_fn: Callable, params, context: jnp.ndarray,
         pad = jnp.repeat(buf[:, :1], window - buf.shape[1], axis=1)
         buf = jnp.concatenate([pad, buf], axis=1)
 
-    def step(buf, _):
-        nxt = _predict_next(apply_fn, params, buf, refine_fn, model_kwargs)
+    def step(buf, i):
+        nxt = _predict_next(apply_fn, params, buf, refine_fn, model_kwargs, i)
         buf = jnp.concatenate([buf[:, 1:], nxt[:, None]], axis=1)
         return buf, nxt
 
     if pred_frames == 1:
         return first[:, None]
-    _, rest = jax.lax.scan(step, buf, None, length=pred_frames - 1)
+    _, rest = jax.lax.scan(step, buf, jnp.arange(1, pred_frames))
     rest = jnp.moveaxis(rest, 0, 1)  # (B, P-1, L)
     return jnp.concatenate([first[:, None], rest], axis=1)
 

@@ -127,7 +127,7 @@ def make_predict_fn(model, codec, pred_frames: int, window: int,
             latents = codec.encode_batch(frames_u8, use_sos=True)
         kwargs = {"text_embeds": text_embeds} if text_embeds is not None else {}
         refine_fn = (None if refine_apply is None
-                     else lambda x: refine_apply(rparams, x))
+                     else lambda x, i: refine_apply(rparams, x, i))
         if mode == "future":
             y_in = latents[:, 1:]  # drop SOS; single shot
             preds = model.apply(params, y_in, y_in, tgt_mask=None,
