@@ -19,6 +19,78 @@ import numpy as np
 import jax.numpy as jnp
 
 
+class _TrackedDict(dict):
+    """State dict that records which keys the converters actually read."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.consumed: set = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
+# checkpoint entries that are buffers/bookkeeping, not convertible params
+_IGNORED_KEY_PARTS = ("position_ids", "num_batches_tracked")
+
+
+def convert_exhaustive(kind: str, sd: dict):
+    """Convert and PROVE every source key was consumed.
+
+    kind in {'vae', 'unet', 'clip'}. Raises ValueError listing any key the
+    converter never read (a missed weight would otherwise silently keep its
+    random init — the reference's from_pretrained would have errored).
+    Returns the converted param tree.
+    """
+    fns = {"vae": convert_vae, "unet": convert_unet,
+           "clip": convert_clip_text}
+    tracked = _TrackedDict(sd)
+    params = fns[kind](tracked)
+    leftover = sorted(
+        k for k in sd
+        if k not in tracked.consumed
+        and not any(part in k for part in _IGNORED_KEY_PARTS))
+    if leftover:
+        raise ValueError(
+            f"convert_{kind}: {len(leftover)} checkpoint keys were never "
+            f"consumed (first 20): {leftover[:20]}")
+    return params
+
+
+def assert_matches_model(converted, abstract_variables) -> None:
+    """Prove every target param is filled with the right shape.
+
+    ``abstract_variables``: jax.eval_shape of the model's init (costs no
+    FLOPs). Raises ValueError on missing/extra/mis-shaped leaves — together
+    with convert_exhaustive this is the bidirectional check: checkpoint
+    <-> converter <-> model all agree.
+    """
+    from flax.traverse_util import flatten_dict
+
+    def leaves(tree):
+        return {"/".join(map(str, k)): tuple(v.shape)
+                for k, v in flatten_dict(tree).items()}
+
+    got, want = leaves(converted), leaves(abstract_variables)
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    bad = sorted(k for k in set(got) & set(want) if got[k] != want[k])
+    msgs = []
+    if missing:
+        msgs.append(f"{len(missing)} params missing from conversion "
+                    f"(first 10): {missing[:10]}")
+    if extra:
+        msgs.append(f"{len(extra)} converted params unknown to the model "
+                    f"(first 10): {extra[:10]}")
+    if bad:
+        msgs.append("shape mismatches: " + "; ".join(
+            f"{k}: converted {got[k]} != model {want[k]}" for k in bad[:10]))
+    if msgs:
+        raise ValueError("converted params do not match model: "
+                         + " | ".join(msgs))
+
+
 def load_state_dict(path: str) -> dict:
     """Load a checkpoint file -> {name: np.ndarray} (f32)."""
     if path.endswith(".safetensors"):

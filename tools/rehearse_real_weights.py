@@ -1,0 +1,150 @@
+"""On-chip rehearsal of the real-weight load path at full scale.
+
+Runs the exact flow the first real SD-v1.4 checkpoint will take
+(reference: utils/sd_utils.py:39-76):
+
+  full-size state dict with exact HF key names (tools/synthetic_checkpoint,
+  seeded small-random values)
+    -> convert_exhaustive (every key consumed)
+    -> assert_matches_model (every param filled, shapes equal)
+    -> 512px VAE encode + decode forward
+    -> UNet eps prediction at the 64x64x4 latent with CFG text pair
+    -> CLIP '' prompt embedding
+
+on the default backend (the real TPU chip when present). Prints one JSON
+line per stage; append the output to PARITY.md as the recorded rehearsal.
+
+Usage: python tools/rehearse_real_weights.py [--save-dir DIR]
+  --save-dir additionally round-trips the state dicts through safetensors
+  files and load_state_dict, rehearsing the disk path too.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def _stage(name, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    dt = time.perf_counter() - t0
+    rec = {"stage": name, "seconds": round(dt, 2), **(out or {})}
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--save-dir", default=None)
+    args = ap.parse_args()
+
+    from synthetic_checkpoint import (clip_state_dict, unet_state_dict,
+                                      vae_state_dict)
+    from sd_video_gen_tpu.diffusion.weights import (assert_matches_model,
+                                                    convert_exhaustive)
+
+    print(json.dumps({"backend": jax.default_backend(),
+                      "devices": len(jax.devices())}))
+
+    sds = {}
+    _stage("generate_state_dicts", lambda: sds.update({
+        "vae": vae_state_dict("0.2.3", seed=0),
+        "unet": unet_state_dict(seed=1),
+        "clip": clip_state_dict(seed=2),
+    }) or {"tensors": {k: len(v) for k, v in sds.items()}})
+
+    if args.save_dir:
+        from safetensors.numpy import save_file
+        from sd_video_gen_tpu.diffusion.weights import load_state_dict
+        os.makedirs(args.save_dir, exist_ok=True)
+
+        def roundtrip():
+            for k in sds:
+                p = os.path.join(args.save_dir, f"{k}.safetensors")
+                save_file(sds[k], p)
+                sds[k] = load_state_dict(p)
+            return {"dir": args.save_dir}
+        _stage("safetensors_roundtrip", roundtrip)
+
+    params = {}
+    for kind in ("vae", "unet", "clip"):
+        _stage(f"convert_{kind}",
+               lambda kind=kind: params.update({kind: convert_exhaustive(kind, sds[kind])})
+               or {"keys_consumed": len(sds[kind])})
+
+    # bidirectional check at full scale
+    from sd_video_gen_tpu.models.vae import AutoencoderKL, VAEConfig
+    from sd_video_gen_tpu.models.unet import UNet2DCondition, UNetConfig
+    from sd_video_gen_tpu.models.clip_text import (CLIPTextConfig,
+                                                   CLIPTextEncoder,
+                                                   empty_prompt_ids)
+    vae = AutoencoderKL(VAEConfig())
+    ucfg = UNetConfig()
+    unet = UNet2DCondition(ucfg)
+    ccfg = CLIPTextConfig()
+    clip = CLIPTextEncoder(ccfg)
+
+    def check_all():
+        assert_matches_model(params["vae"], jax.eval_shape(
+            vae.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+        assert_matches_model(params["unet"], jax.eval_shape(
+            unet.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, 8, 8, ucfg.in_channels)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 2, ucfg.cross_attention_dim))))
+        assert_matches_model(params["clip"], jax.eval_shape(
+            clip.init, jax.random.PRNGKey(0),
+            empty_prompt_ids(1, ccfg.max_length)))
+        return {"bidirectional": "ok"}
+    _stage("assert_matches_model_all", check_all)
+
+    # ---- 512px forwards on the chip (the reference's working resolution) ---
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.integers(0, 255, (1, 512, 512, 3)).astype(np.uint8))
+
+    from sd_video_gen_tpu.diffusion.vae_codec import VAECodec
+    codec = VAECodec(512, params=params["vae"])
+
+    def vae_fwd():
+        lat = codec.encode_frames(img[:, None])          # (1, 1, 4*64*64)
+        pix = codec.decode_latents(lat[:, 0])
+        lat_np = np.asarray(lat)
+        return {"latent_shape": list(lat.shape),
+                "latent_finite": bool(np.isfinite(lat_np).all()),
+                "latent_std": round(float(lat_np.std()), 4),
+                "decoded_shape": list(np.asarray(pix).shape)}
+    _stage("vae_512px_encode_decode", vae_fwd)
+
+    def clip_fwd():
+        emb = clip.apply(params["clip"], empty_prompt_ids(1, ccfg.max_length))
+        e = np.asarray(emb)
+        return {"emb_shape": list(e.shape),
+                "finite": bool(np.isfinite(e).all())}
+    rec = _stage("clip_uncond_embed", clip_fwd)
+
+    def unet_fwd():
+        emb = clip.apply(params["clip"], empty_prompt_ids(1, ccfg.max_length))
+        pair = jnp.concatenate([emb, emb], 0)
+        z = jnp.asarray(rng.standard_normal((2, 64, 64, 4)), jnp.float32)
+        t = jnp.full((2,), 801, jnp.int32)
+        eps = unet.apply(params["unet"], z, t, pair)
+        e = np.asarray(eps)
+        return {"eps_shape": list(e.shape),
+                "finite": bool(np.isfinite(e).all()),
+                "eps_std": round(float(e.std()), 4)}
+    _stage("unet_64x64_latent_eps", unet_fwd)
+
+    print(json.dumps({"stage": "rehearsal_complete", "ok": True}))
+
+
+if __name__ == "__main__":
+    main()
