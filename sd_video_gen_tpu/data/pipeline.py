@@ -41,7 +41,14 @@ class BatchLoader:
     def _epoch_order(self) -> np.ndarray:
         n = len(self.dataset)
         take = max(1, int(n * self.epoch_ratio))
-        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.shuffle and hasattr(self.dataset, "epoch_order"):
+            # dataset-directed sampling (UCF: videos shuffled, clips within a
+            # video sequential so its decode cache stays hot)
+            order = np.asarray(self.dataset.epoch_order(self._rng))
+        elif self.shuffle:
+            order = self._rng.permutation(n)
+        else:
+            order = np.arange(n)
         return order[:take]
 
     def __len__(self) -> int:

@@ -1,4 +1,12 @@
-"""UCF101Dataset over synthetic .avi files + official-format split lists."""
+"""UCF101Dataset over synthetic .avi files + official-format split lists.
+
+Includes torchvision-parity goldens for the clip enumeration: the reference
+uses torchvision.datasets.UCF101 (trainers/trainer.py:409-421) whose
+VideoClips resamples each video's timeline to frame_rate and takes ALL
+sliding windows with step_between_clips=1. torchvision is not installed
+here, so the goldens below are hand-evaluated from its documented formula
+(VideoClips._resample_video_idx / unfold).
+"""
 
 import os
 
@@ -6,7 +14,38 @@ import numpy as np
 import cv2
 import pytest
 
-from sd_video_gen_tpu.data.ucf101 import UCF101Dataset, find_classes
+from sd_video_gen_tpu.data.ucf101 import (UCF101Dataset, clip_starts,
+                                          find_classes, resample_indices)
+
+
+def test_resample_indices_integer_step():
+    # torchvision: step = 12/6 = 2.0 integer -> slice(None, None, 2)
+    np.testing.assert_array_equal(resample_indices(24, 12.0, 6),
+                                  np.arange(0, 24, 2))
+    # T not divisible by step: slice semantics keep ceil(T/step) frames
+    np.testing.assert_array_equal(resample_indices(25, 12.0, 6),
+                                  np.arange(0, 25, 2))
+
+
+def test_resample_indices_fractional_step():
+    # torchvision: step = 10/4 = 2.5, n = floor(25 * 4/10) = 10,
+    # idxs = floor(arange(10) * 2.5)
+    np.testing.assert_array_equal(
+        resample_indices(25, 10.0, 4),
+        np.array([0, 2, 5, 7, 10, 12, 15, 17, 20, 22]))
+
+
+def test_resample_indices_no_rate():
+    np.testing.assert_array_equal(resample_indices(5, 30.0, None),
+                                  np.arange(5))
+
+
+def test_clip_starts_unfold_semantics():
+    # torchvision unfold: (n - size)//step + 1 windows
+    np.testing.assert_array_equal(clip_starts(12, 4, 1), np.arange(9))
+    np.testing.assert_array_equal(clip_starts(12, 4, 3), [0, 3, 6])
+    assert len(clip_starts(3, 4, 1)) == 0
+    np.testing.assert_array_equal(clip_starts(4, 4, 1), [0])
 
 
 @pytest.fixture(scope="module")
@@ -69,6 +108,66 @@ def test_test_split(ucf_tree):
     assert len(ds) == 2  # one test video per class
     labels_seen = sorted(ds[i][0][0] for i in range(len(ds)))
     assert labels_seen == [0, 1]
+
+
+def test_full_sliding_enumeration(ucf_tree):
+    """clips_per_video=None -> torchvision behavior: every sliding window.
+    24 frames @12fps resampled to 6fps -> 12 frames; L=4, step 1 -> 9 clips
+    per video; 4 train videos -> 36."""
+    data, labels = ucf_tree
+    ds = UCF101Dataset(data, labels, frames_per_clip=4, train=True,
+                       frame_rate=6, frame_size=32)
+    assert len(ds) == 36
+    # consecutive sliding clips overlap by 3 frames
+    _, c0 = ds[0]
+    _, c1 = ds[1]
+    np.testing.assert_array_equal(c0[1:], c1[:3])
+
+
+def test_epoch_order_groups_videos(ucf_tree):
+    data, labels = ucf_tree
+    ds = UCF101Dataset(data, labels, frames_per_clip=4, train=True,
+                       frame_rate=6, frame_size=32)
+    order = ds.epoch_order(np.random.default_rng(0))
+    assert sorted(order) == list(range(len(ds)))
+    vids = [ds.items[i][0] for i in order]
+    # each video's clips are contiguous in the order (cache-friendly)
+    seen = []
+    for v in vids:
+        if not seen or seen[-1] != v:
+            assert v not in seen, "video revisited after eviction"
+            seen.append(v)
+
+
+def test_video_decoded_once_per_epoch(ucf_tree, monkeypatch):
+    import sd_video_gen_tpu.data.ucf101 as mod
+    data, labels = ucf_tree
+    ds = UCF101Dataset(data, labels, frames_per_clip=4, train=True,
+                       frame_rate=6, frame_size=32, cache_videos=2)
+    calls = []
+    real = mod._decode_resampled
+    monkeypatch.setattr(mod, "_decode_resampled",
+                        lambda *a: calls.append(1) or real(*a))
+    for i in ds.epoch_order(np.random.default_rng(1)):
+        ds[int(i)]
+    assert len(calls) == len(ds.videos)
+
+
+def test_batchloader_uses_epoch_order(ucf_tree, monkeypatch):
+    from sd_video_gen_tpu.data.pipeline import BatchLoader
+    import sd_video_gen_tpu.data.ucf101 as mod
+    data, labels = ucf_tree
+    ds = UCF101Dataset(data, labels, frames_per_clip=4, train=True,
+                       frame_rate=6, frame_size=32, cache_videos=1)
+    calls = []
+    real = mod._decode_resampled
+    monkeypatch.setattr(mod, "_decode_resampled",
+                        lambda *a: calls.append(1) or real(*a))
+    loader = BatchLoader(ds, batch_size=4, prefetch=0, seed=0)
+    nb = sum(1 for _ in loader)
+    assert nb == len(ds) // 4
+    # video-grouped sampling: even a 1-video cache decodes each video once
+    assert len(calls) == len(ds.videos)
 
 
 def test_flip(ucf_tree):
