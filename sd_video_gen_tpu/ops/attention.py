@@ -12,8 +12,12 @@ The frame transformer's sequences are <=16 tokens â€” far below the crossover â€
 so it keeps plain einsum attention (models/transformer.py). Dispatch policy
 in ``attention``: Pallas on TPU for long sequences, einsum otherwise.
 
-Kernel follows the pallas_guide.md patterns: f32 accumulators in VMEM,
-grid over (batch*heads, query blocks), fori_loop over key blocks,
+Kernel follows the pallas_guide.md patterns: f32 accumulators in VMEM
+scratch, grid (batch*heads, query blocks, key blocks) with the key dim
+innermost so K/V stream through VMEM one block at a time (the first version
+block-spec'd the FULL (T, d) K/V per grid step: at the 512px VAE shape
+4096x512 f32 that is 8MB each and blew the 16MB VMEM scoped limit on v5e â€”
+caught by tools/rehearse_real_weights.py), and
 `preferred_element_type=jnp.float32` on every dot.
 """
 
@@ -25,6 +29,7 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
@@ -41,29 +46,43 @@ def reference_attention(q, k, v, scale=None):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale          # (bq, d)
-    bq, d = q.shape
-    T = k_ref.shape[1]
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  scale: float, n_k: int):
+    """One (query-block, key-block) grid step of online-softmax attention.
 
-    def body(i, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (bq, bk)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
-        return m_new, l, acc
+    The TPU grid is sequential with the key index innermost, so the VMEM
+    scratch (running max / normalizer / accumulator) persists across the key
+    sweep of a given query block and the output is written once at the end.
+    """
+    ki = pl.program_id(2)
 
-    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    a0 = jnp.zeros((bq, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, T // block_k, body, (m0, l0, a0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # keep q/k/v in their native dtype into the MXU (bf16 inputs run the
+    # bf16 systolic path) and accumulate f32 via preferred_element_type;
+    # upcasting to f32 first would forfeit ~8x bf16 MXU throughput.
+    q = q_ref[0]                                      # (bq, d)
+    k = k_ref[0]                                      # (bk, d)
+    v = v_ref[0]                                      # (bk, d)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    m_prev = m_scr[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_scr[...] = m_new
+    l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = (acc_scr[...] * alpha
+                    + jnp.dot(p.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32))
+
+    @pl.when(ki == n_k - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
@@ -72,7 +91,7 @@ def flash_attention(q, k, v, scale: float | None = None,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
                     interpret: bool = False):
-    """(BH, T, d) non-causal attention with O(T) memory.
+    """(BH, T, d) non-causal attention with O(block) VMEM.
 
     Requires T % block sizes == 0 (spatial token counts 64/256/1024/4096 all
     qualify); use ``attention`` for automatic fallback.
@@ -81,17 +100,23 @@ def flash_attention(q, k, v, scale: float | None = None,
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     block_q = min(block_q, T)
     block_k = min(block_k, T)
-    kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale)
+    n_k = T // block_k
+    kernel = functools.partial(_flash_kernel, scale=scale, n_k=n_k)
     return pl.pallas_call(
         kernel,
-        grid=(BH, T // block_q),
+        grid=(BH, T // block_q, n_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, T, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, T, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
         interpret=interpret,
     )(q, k, v)
 
