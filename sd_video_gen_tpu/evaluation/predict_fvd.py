@@ -65,6 +65,43 @@ def load_i3d(weights_path: str | None):
     return i3d, params
 
 
+def make_sharded_features(i3d, mesh):
+    """Device-parallel I3D feature extraction + FeatureStats psum.
+
+    Replaces the reference's DEAD distributed stats code
+    (evaluation/fvd.py:135-145 torch.distributed.broadcast, never reached)
+    with a real shard_map: each device preprocesses + I3D-forwards its batch
+    shard and the (n, Σx, Σxxᵀ) accumulators are psum'd over the 'data' axis,
+    so every device holds the global stats.
+
+    Returns fn(i3d_params, videos_u8 (B,T,H,W,3)) -> FeatureStats with the
+    batch sharded over mesh's 'data' axis (B must divide by it).
+    """
+    from functools import partial
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_data = mesh.shape["data"]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P("data")), out_specs=P())
+    def _run(i3d_params, videos_u8):
+        f = i3d.apply(i3d_params, preprocess_videos(videos_u8))
+        st = FeatureStats(400).append(f)
+        st = st.psum("data")
+        return st.n, st.raw_sum, st.raw_prod
+
+    def features_stats(i3d_params, videos_u8):
+        if videos_u8.shape[0] % n_data:
+            raise ValueError(
+                f"batch {videos_u8.shape[0]} not divisible by data axis "
+                f"{n_data}; pick --batch_clips as a multiple")
+        n, s, p = _run(i3d_params, videos_u8)
+        return FeatureStats(400, n, s, p)
+
+    return features_stats
+
+
 def main(argv=None):
     from sd_video_gen_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -121,9 +158,17 @@ def main(argv=None):
                               window=cfg.frames_per_clip,
                               mode=args.train_mode, refiner=refiner)
 
-    @jax.jit
-    def features(videos_u8):
-        return i3d.apply(i3d_params, preprocess_videos(videos_u8))
+    if args.mesh:
+        # device-parallel feature extraction: per-device I3D shards + psum
+        from sd_video_gen_tpu.parallel import make_mesh
+        sharded_stats = make_sharded_features(i3d, make_mesh(args.mesh))
+        features = None
+    else:
+        sharded_stats = None
+
+        @jax.jit
+        def features(videos_u8):
+            return i3d.apply(i3d_params, preprocess_videos(videos_u8))
 
     codec_params = getattr(codec, "params", None)
 
@@ -171,14 +216,18 @@ def main(argv=None):
         frames = jnp.asarray(frames)
         context = frames[:, :cfg.frames_per_clip]
         gen = gen_video(params, context, indices)
-        f_real = features(frames)
-        f_gen = features(gen)
-        if args.fvd_api == "streaming":
-            st_real = st_real.append(f_real)
-            st_gen = st_gen.append(f_gen)
+        if sharded_stats is not None:
+            if args.fvd_api != "streaming":
+                raise ValueError("--mesh implies --fvd_api streaming "
+                                 "(psum'd FeatureStats)")
+            st_real = st_real.merge(sharded_stats(i3d_params, frames))
+            st_gen = st_gen.merge(sharded_stats(i3d_params, gen))
+        elif args.fvd_api == "streaming":
+            st_real = st_real.append(features(frames))
+            st_gen = st_gen.append(features(gen))
         else:
-            logits_real.append(np.asarray(f_real))
-            logits_gen.append(np.asarray(f_gen))
+            logits_real.append(np.asarray(features(frames)))
+            logits_gen.append(np.asarray(features(gen)))
         n_clips += frames.shape[0]
         if (bi + 1) % args.fvd_every == 0:
             print(f"[{n_clips} clips] FVD so far: {_fvd(args, st_real, st_gen, logits_real, logits_gen):.3f}")

@@ -47,9 +47,20 @@ def default_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
 
     Uses the first g devices where g = gcd(batch_size, n_devices); keeps
     small-batch CLI runs working on many-device hosts without a mesh flag.
+    Warns LOUDLY when that strands devices (e.g. the flagship batch 6 on 8
+    chips would silently train on 2) — fix by picking a batch that divides
+    the chip count, or pass an explicit --mesh spec.
     """
+    import warnings
     devices = devices if devices is not None else jax.devices()
-    g = int(np.gcd(batch_size, len(devices)))
+    n = len(devices)
+    g = int(np.gcd(batch_size, n))
+    if g < n:
+        warnings.warn(
+            f"default mesh uses {g} of {n} devices (batch_size {batch_size} "
+            f"is not divisible by {n}): {n - g} devices IDLE. Set BATCH_SIZE "
+            f"to a multiple of {n} or pass --mesh data={n},model=1 with a "
+            f"divisible batch.", stacklevel=2)
     return make_mesh(f"data={g},model=1", devices=devices[:g])
 
 

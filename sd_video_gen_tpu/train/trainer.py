@@ -12,6 +12,9 @@ Strategy modes (``--train_mode``):
                latents before the loss.
   - 'text'   : class-name conditioning (trainers/trainer_text.py:151-177):
                per-batch class-id -> text-embedding lookup, on device.
+  - 'learned_tgt': DETR-style learned decoder queries
+               (models/transformer_learned_tgt.py — the reference shipped
+               the model with no trainer); trains with the 'future' split.
 
 TPU-first design vs the reference hot loop (SURVEY.md §3.1):
   - frames cross host->device ONCE per step as uint8; normalize + latent
@@ -68,7 +71,11 @@ def _predictions_and_targets(model, params, latents, k, mode, rngs,
     kwargs = {}
     if text_embeds is not None:
         kwargs["text_embeds"] = text_embeds
-    if mode == "future":
+    if mode in ("future", "learned_tgt"):
+        # future: k-step single-shot (trainer_predict_future.py:121-146).
+        # learned_tgt: the reference shipped no trainer for this variant;
+        # the same split applies — the model ignores tgt and decodes its
+        # own learned queries into exactly k outputs.
         y_in = latents[:, :-k]
         target = latents[:, -k:]
         pred = model.apply(params, y_in, y_in, tgt_mask=None,
@@ -92,14 +99,14 @@ def make_train_step(model, codec, loss_w: LossWeights, cfg: Config,
                     tx: optax.GradientTransformation | None = None):
     """Build (init_fn, step_fn). step_fn: (state, frames_u8, rng[, text]) -> (state, metrics)."""
     k = cfg.frames_to_predict
-    use_sos = mode != "future"
+    use_sos = mode not in ("future", "learned_tgt")
     tx = tx or optax.adam(lr if lr is not None else cfg.lr)
     codec_params = getattr(codec, "params", None)
 
     def init_fn(rng, sample_frames, text_embeds=None):
         latents = encode_or_passthrough(codec, jnp.asarray(sample_frames),
                                         use_sos, codec_params)
-        if mode == "future":
+        if mode in ("future", "learned_tgt"):
             src = latents[:, :-k]
             variables = model.init(rng, src, src, tgt_mask=None,
                                    text_embeds=text_embeds)
@@ -135,7 +142,7 @@ def make_train_step(model, codec, loss_w: LossWeights, cfg: Config,
 def make_eval_step(model, codec, loss_w: LossWeights, cfg: Config,
                    mode: str = "ar"):
     k = cfg.frames_to_predict
-    use_sos = mode != "future"
+    use_sos = mode not in ("future", "learned_tgt")
     codec_params = getattr(codec, "params", None)
 
     @jax.jit
@@ -269,9 +276,14 @@ class Trainer:
                                                      preprocess_videos)
         k = self.cfg.frames_to_predict
 
-        def pad_time(v, min_t: int = 9):
-            # I3D's temporal pyramid needs >=9 frames; repeat the clip to
-            # reach the minimum (applied identically to real and generated).
+        def pad_time(v, min_t: int = 5):
+            # Protocol parity: the reference streams frames_to_predict-frame
+            # clips straight into the detector (trainer_fvd.py:480-490
+            # trans224 reshapes to (-1, frames_to_predict)); our explicit I3D
+            # needs T >= 5 (two stride-2 temporal pools + a kernel-2 VALID
+            # pool), so the flagship k=5 passes through UNPADDED. Only k < 5
+            # tiles the clip (identically for real and generated) —
+            # documented in PARITY.md.
             if v.shape[1] >= min_t:
                 return v
             reps = -(-min_t // v.shape[1])
@@ -282,7 +294,9 @@ class Trainer:
         @jax.jit
         def fvd_batch(params, cparams, i3d_p, frames):
             latents = encode_or_passthrough(self.codec, frames,
-                                            self.mode != "future", cparams)
+                                            self.mode not in
+                                            ("future", "learned_tgt"),
+                                            cparams)
             pred_k, _ = _predictions_and_targets(
                 self.model, params, latents, k, self.mode, rngs=None,
                 deterministic=True)
@@ -389,8 +403,13 @@ def main(argv=None):
     from sd_video_gen_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     parser = build_arg_parser()
+    # learned_tgt: the reference shipped the model variant
+    # (models/transformer_learned_tgt.py) with no trainer for it; here it
+    # trains via the 'future' layout (decoder input is the model's own
+    # learned queries, so the future split applies).
     parser.add_argument("--train_mode", type=str, default="ar",
-                        choices=["ar", "future", "diff", "text"])
+                        choices=["ar", "future", "diff", "text",
+                                 "learned_tgt"])
     parser.add_argument("--codec", type=str, default="pixel",
                         choices=["pixel", "vae"])
     parser.add_argument("--sweep", action="store_true",

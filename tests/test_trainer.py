@@ -110,3 +110,46 @@ def test_future_mode_shapes(rng):
     state = init_fn(jax.random.PRNGKey(0), frames)
     state, comps = step_fn(state, frames, jax.random.PRNGKey(1))
     assert np.isfinite(float(comps["total"]))
+
+
+def test_learned_tgt_mode_trains(rng):
+    """learned_tgt (DETR-style queries) is now reachable from the trainer:
+    future split, model ignores tgt and emits exactly k query outputs."""
+    cfg = _tiny_cfg(frames_per_clip=4, frames_to_predict=2)
+    codec = PixelCodec(cfg.frame_size)
+    mc = FrameTransformerConfig(latent_dim=codec.latent_dim, dim_model=32,
+                                num_heads=4, num_encoder_layers=1,
+                                num_decoder_layers=1, dropout_p=0.0,
+                                mode="learned_tgt", frames_to_predict=2)
+    model = FrameTransformer(mc)
+    w = LossWeights(use_mse=True, use_gdl=False, use_contrastive=False)
+    init_fn, step_fn = make_train_step(model, codec, w, cfg,
+                                       mode="learned_tgt", lr=1e-2)
+    frames = jnp.asarray(
+        rng.integers(0, 255, (2, 6, 32, 32, 3)).astype(np.uint8))
+    state = init_fn(jax.random.PRNGKey(0), frames)
+    flat = {"/".join(str(k) for k in path): v for path, v in
+            jax.tree_util.tree_flatten_with_path(state.params)[0]}
+    assert any("query_pos" in k for k in flat)
+    first = None
+    for i in range(8):
+        state, comps = step_fn(state, frames, jax.random.PRNGKey(1))
+        total = float(comps["total"])
+        assert np.isfinite(total)
+        first = first if first is not None else total
+    assert total < first
+
+
+def test_default_mesh_warns_on_idle_devices():
+    import warnings
+    from sd_video_gen_tpu.parallel.mesh import default_mesh_for_batch
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        mesh = default_mesh_for_batch(6)  # gcd(6, 8) = 2 -> 6 devices idle
+    assert mesh.devices.size == 2
+    assert any("IDLE" in str(w.message) for w in rec)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        mesh = default_mesh_for_batch(8)
+    assert mesh.devices.size == 8
+    assert not rec
