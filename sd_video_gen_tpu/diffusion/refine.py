@@ -55,7 +55,7 @@ def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = Non
             c = pipe.vae.cfg.latent_channels
             z = flat_latents.reshape(B, c, h_lo, h_lo).transpose(0, 2, 3, 1)
             den = pipe.i2i_scan(rp["unet"], z, emb,
-                                guidance_scale=jnp.float32(0.0),
+                                guidance_scale=0.0,  # static: single-batch UNet
                                 start_step=start_step,
                                 num_inference_steps=num_inference_steps,
                                 noise_rng=jax.random.fold_in(
@@ -92,7 +92,7 @@ def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = Non
         lc = pipe.vae.cfg.latent_channels
         lat_hi = lat_hi.reshape(B, lc, h_hi, h_hi).transpose(0, 2, 3, 1)
         den = pipe.i2i_scan(rp["unet"], lat_hi, emb,
-                            guidance_scale=jnp.float32(0.0),
+                            guidance_scale=0.0,  # static: single-batch UNet
                             start_step=start_step,
                             num_inference_steps=num_inference_steps,
                             noise_rng=jax.random.fold_in(

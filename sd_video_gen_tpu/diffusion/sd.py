@@ -131,7 +131,20 @@ class SDPipeline:
     # blows up lowering time/memory and defeats donation.
     def _unet_eps(self, unet_params, latents, t, text_embeddings,
                   guidance_scale):
-        """CFG noise prediction: one 2B-batch UNet call (sd_utils:111-121)."""
+        """CFG noise prediction: one 2B-batch UNet call (sd_utils:111-121).
+
+        Static guidance_scale == 0 (a Python number, not a traced array)
+        skips the pair: eps = eps_uncond + 0*(eps_text - eps_uncond) is
+        bitwise eps_uncond, so the text half is pure waste — the reference
+        burned 2x UNet FLOPs on it in the --denoise path
+        (prediction/predict.py:148 gs=0). Callers that want live CFG pass a
+        traced scale.
+        """
+        B = latents.shape[0]
+        if isinstance(guidance_scale, (int, float)) and guidance_scale == 0.0:
+            tt = jnp.broadcast_to(t, (B,))
+            return self.unet.apply(unet_params, latents, tt,
+                                   text_embeddings[:B])
         pair = jnp.concatenate([latents, latents], axis=0)
         tt = jnp.broadcast_to(t, (pair.shape[0],))
         eps = self.unet.apply(unet_params, pair, tt, text_embeddings)

@@ -131,3 +131,18 @@ def test_prompt_to_img_and_img_to_img(pipe, rng):
                           num_inference_steps=4, guidance_scale=0.0,
                           start_step=2, rng=jax.random.PRNGKey(1))
     assert out.dtype == np.uint8 and out.shape[0] == 1
+
+
+def test_static_gs0_skips_cfg_pair_bitwise(pipe):
+    """guidance_scale=0.0 (static) runs the UNet on B instead of 2B; the
+    result must be BITWISE equal to the pair path (eps_u + 0*(eps_t-eps_u))."""
+    rng = np.random.default_rng(5)
+    lat = jnp.asarray(rng.standard_normal((2, 4, 4, 4)), jnp.float32)
+    emb = pipe.uncond_embeddings(2)
+    key = jax.random.PRNGKey(3)
+    fast = pipe.i2i_scan(pipe.unet_params, lat, emb, guidance_scale=0.0,
+                         start_step=8, num_inference_steps=10, noise_rng=key)
+    pair = pipe.i2i_scan(pipe.unet_params, lat, emb,
+                         guidance_scale=jnp.float32(0.0),
+                         start_step=8, num_inference_steps=10, noise_rng=key)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(pair))
