@@ -130,7 +130,7 @@ def _dec_layer_step(p, x, mem_k, mem_v, k_cache, v_cache, idx, H, dtype):
 
 
 def cached_rollout(cfg, params, context: jnp.ndarray,
-                   pred_frames: int) -> jnp.ndarray:
+                   pred_frames: int, refine_fn=None) -> jnp.ndarray:
     """Frozen-memory incremental rollout.
 
     Args:
@@ -139,6 +139,9 @@ def cached_rollout(cfg, params, context: jnp.ndarray,
       context: (B, T0, latent_dim) — [SOS + context frames], i.e. the same
         encode_batch output ar_rollout takes.
       pred_frames: number of latents to generate (static).
+      refine_fn: optional (latents (B, L), step) -> (B, L) per-step hook
+        (partial denoise), applied to each prediction before it feeds back —
+        same contract as ops/rollout.ar_rollout.
 
     Returns (B, pred_frames, latent_dim) f32.
     """
@@ -185,6 +188,8 @@ def cached_rollout(cfg, params, context: jnp.ndarray,
         v_caches[i] = jax.lax.dynamic_update_slice(v_caches[i],
                                                    v.astype(dtype), (0, 0, 0, 0))
     first = _dense(p["out"], x[:, -1:], dtype).astype(jnp.float32)  # (B,1,L)
+    if refine_fn is not None:
+        first = refine_fn(first[:, 0], jnp.int32(0))[:, None]
 
     # -- incremental steps ---------------------------------------------------
     def step(carry, i):
@@ -200,6 +205,8 @@ def cached_rollout(cfg, params, context: jnp.ndarray,
             new_k.append(kc)
             new_v.append(vc)
         out = _dense(p["out"], x, dtype).astype(jnp.float32)  # (B,1,L)
+        if refine_fn is not None:
+            out = refine_fn(out[:, 0], i)[:, None]
         return (out, tuple(new_k), tuple(new_v)), out[:, 0]
 
     if pred_frames == 1:

@@ -95,7 +95,7 @@ def show_frames(imgs: np.ndarray, is_pred: list[bool], fullscreen: bool):
 
 
 def make_predict_fn(model, codec, pred_frames: int, window: int,
-                    mode: str = "ar", refiner=None):
+                    mode: str = "ar", refiner=None, rollout: str = "full"):
     """One jitted program: frames -> (context latents, predicted latents).
 
     ``mode='text'`` takes text embeddings as a third argument
@@ -103,7 +103,14 @@ def make_predict_fn(model, codec, pred_frames: int, window: int,
     SentenceTransformer sync). ``refiner`` is the (apply, params) pair from
     diffusion/refine.make_denoise_refiner — its params enter the jit as an
     argument, never as jaxpr constants.
+
+    ``rollout='cached'`` (mode='ar' only) switches to the KV-cached
+    frozen-memory serving path (ops/cached_rollout.py): frame 1 identical
+    to the full re-forward, later frames condition the frozen context
+    memory instead of re-encoding predictions — see PARITY.md.
     """
+    if rollout == "cached" and mode != "ar":
+        raise ValueError("--rollout cached supports --train_mode ar only")
 
     apply_fn = model.apply
     if mode == "diff":
@@ -132,6 +139,10 @@ def make_predict_fn(model, codec, pred_frames: int, window: int,
             y_in = latents[:, 1:]  # drop SOS; single shot
             preds = model.apply(params, y_in, y_in, tgt_mask=None,
                                 **kwargs)[:, -pred_frames:]
+        elif rollout == "cached":
+            from sd_video_gen_tpu.ops.cached_rollout import cached_rollout
+            preds = cached_rollout(model.cfg, params, latents, pred_frames,
+                                   refine_fn=refine_fn)
         else:
             preds = ar_rollout(apply_fn, params, latents, pred_frames,
                                window=window, refine_fn=refine_fn,
@@ -158,7 +169,14 @@ def main(argv=None):
     parser.add_argument("--max_clips", type=int, default=4)
     parser.add_argument("--batch_clips", type=int, default=1,
                         help="clips rolled out per jitted call (serving batch)")
+    parser.add_argument("--rollout", type=str, default="full",
+                        choices=["full", "cached"],
+                        help="cached: KV-cached frozen-memory serving path "
+                             "(ar mode; see PARITY.md for semantics)")
     args = parser.parse_args(argv)
+    if args.rollout == "cached" and args.naive:
+        parser.error("--rollout cached needs the transformer model "
+                     "(incompatible with --naive)")
     cfg = load_config(args.config, args.config_dir)
 
     vae_params = None
@@ -194,7 +212,8 @@ def main(argv=None):
 
     predict = make_predict_fn(model, codec, args.pred_frames,
                               window=cfg.frames_per_clip,
-                              mode=args.train_mode, refiner=refine_fn)
+                              mode=args.train_mode, refiner=refine_fn,
+                              rollout=args.rollout)
 
     embedder = None
     if args.train_mode == "text":
