@@ -128,15 +128,34 @@ def _on_tpu() -> bool:
         return False
 
 
+def should_use_flash(shape, dtype, on_tpu: bool,
+                     min_flash_len: int = 4096) -> bool:
+    """Evidence-based dispatch policy (measured on v5e-1,
+    tools/bench_attention.py, table in PARITY.md):
+
+      (8, 4096, 40) bf16: flash 2.24x faster than einsum (the 512px UNet
+          down_0 hot spot — XLA's bf16 softmax path materializes the 4096^2
+          probability matrix in f32 and goes HBM-bound);
+      (8, 4096, 40) f32 : flash 0.73x (XLA wins; both HBM-bound, XLA's
+          fusion has less scratch traffic);
+      (8, 1024, 80) and (1, 4096, 512), both dtypes: within +-7% (tie).
+
+    So flash only where it measurably pays: bf16, T >= 4096, head_dim <=
+    128 (the big-head VAE shape tied, and wide d inflates the f32
+    accumulator scratch)."""
+    T, d = shape[1], shape[2]
+    return (on_tpu and dtype == jnp.bfloat16 and T >= min_flash_len
+            and d <= 128 and T % min(DEFAULT_BLOCK_Q, T) == 0)
+
+
 def attention(q, k, v, scale: float | None = None,
-              min_flash_len: int = 1024, force: str | None = None):
-    """Dispatch: Pallas flash kernel on TPU for long self-attention, einsum
+              min_flash_len: int = 4096, force: str | None = None):
+    """Dispatch: Pallas flash kernel on TPU where measured faster, einsum
     otherwise. q/k/v: (BH, T, d). ``force`` in {'flash','reference'} pins it."""
-    T = q.shape[1]
     use_flash = (force == "flash" or
-                 (force is None and _on_tpu() and q.shape == k.shape
-                  and T >= min_flash_len and
-                  T % min(DEFAULT_BLOCK_Q, T) == 0))
+                 (force is None and q.shape == k.shape and
+                  should_use_flash(q.shape, q.dtype, _on_tpu(),
+                                   min_flash_len)))
     if use_flash:
         return flash_attention(q, k, v, scale)
     return reference_attention(q, k, v, scale)

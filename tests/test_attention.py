@@ -49,3 +49,28 @@ def test_dispatch_fallback_on_cpu(rng):
     q = jnp.asarray(rng.standard_normal((1, 2048, 32)), jnp.float32)
     out = attention(q, q, q)  # CPU backend -> einsum path, no crash
     assert out.shape == q.shape
+
+
+def test_dispatch_policy_matches_measurements():
+    """Policy pinned to the v5e timing table in PARITY.md (kernel wins)."""
+    from sd_video_gen_tpu.ops.attention import should_use_flash
+    bf16, f32 = jnp.bfloat16, jnp.float32
+    assert should_use_flash((8, 4096, 40), bf16, True)        # 2.24x win
+    assert not should_use_flash((8, 4096, 40), f32, True)     # 0.73x loss
+    assert not should_use_flash((8, 1024, 80), bf16, True)    # 0.93x tie
+    assert not should_use_flash((1, 4096, 512), bf16, True)   # 0.96x tie
+    assert not should_use_flash((8, 4096, 40), bf16, False)   # not on TPU
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="non-interpret Pallas parity needs a real TPU")
+def test_flash_on_tpu_4096(rng):
+    """On-chip (non-interpret) parity at the 512px UNet denoise shape."""
+    shape = (8, 4096, 40)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+               for _ in range(3))
+    out = flash_attention(q, k, v)
+    ref = reference_attention(q, k, v)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    assert err < 5e-2, err
