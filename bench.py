@@ -1,26 +1,44 @@
-"""Benchmark: generated frames/sec for the flagship AR prediction pipeline.
+"""Benchmark: the reference's headline pipelines on one TPU chip.
 
-Scenario (BASELINE.json primary metric): 16-frame 64x64 prediction —
-encode context frames -> autoregressive transformer rollout (16 steps, the
-reference UCF-final model scale: dim 2048, 4 enc + 8 dec, 8 heads) -> decode
-predicted frames to uint8 pixels. The whole pipeline is one XLA program.
+Four scenarios, one JSON line each; the FINAL line is the primary metric
+(the north-star encode→predict→denoise→decode pipeline) and embeds the full
+scenario map so the driver's parsed record carries every number:
 
-Measurement notes: the dev environment reaches the TPU through a tunnel whose
+  pixel_ar16       — 64px 16-frame AR prediction with the pixel stand-in
+                     codec (BASELINE.json config #1: ball without SD).
+  vae_ar16         — same pipeline with the real SD VAE codec
+                     (models/vae.py, random init — identical FLOPs, memory
+                     and layout to converted SD-v1.4 weights).
+  vae_denoise_ar4  — the north-star pipeline (reference
+                     prediction/predict.py --denoise, denoise_start_step=40):
+                     VAE encode → AR rollout where every predicted latent is
+                     refined by decode→upscale 512→re-encode→DDIM 10-step
+                     partial denoise with the SD UNet→decode→downscale→
+                     re-encode → final VAE decode. One XLA program.
+  train_flagship   — training steps/sec at the flagship UCF config
+                     (config/11_27_ucf_final.yml: batch 6, 128px, dim 2048,
+                     4 enc + 8 dec, MSE+GDL+NCE composite loss, Adam).
+
+Measurement: the dev environment reaches the TPU through a tunnel whose
 per-dispatch RPC latency (~50ms) dwarfs device compute, and
-block_until_ready does not reliably sync. So the timed region chains REPEATS
-full pipeline iterations inside one jitted lax.scan (each iteration's input
-frames are the previous iteration's decoded output — a real data dependence,
-so XLA cannot elide any step) and syncs by fetching a scalar checksum.
+block_until_ready does not reliably sync. So each timed region chains
+REPEATS iterations inside one jitted lax.scan with a real data dependence
+(outputs feed the next iteration's inputs — XLA cannot elide any step) and
+syncs by fetching a scalar checksum.
 
-Baseline: the reference publishes no numbers (BASELINE.md). Its pipeline on
-an RTX 3090 (prediction/predict.py: batch 1, full re-forward per frame, host
-round-trips between every stage) is estimated at ~150 frames/sec for this
-no-denoise 64x64 scenario from op-level accounting (~12-layer dim-2048
-transformer fwd <1ms + VAE decode ~5ms + per-frame host transfers).
-vs_baseline = measured_fps / 150.
-
-Codec: SD-VAE when JAX weights are available, else the pixel codec — same
-latent grid; the transformer rollout dominates at this frame size.
+Baselines (the reference publishes no numbers — BASELINE.md): op-level
+estimates for its pipeline on an RTX 3090, documented per scenario:
+  pixel_ar16      ~150 fps   (12-layer dim-2048 fwd <1ms/frame + resize
+                              stand-in + per-frame host transfers ~6ms)
+  vae_ar16        ~115 fps   (+ VAE decode ~2ms + encode ~1ms per frame at
+                              64px, host round trip between each stage)
+  vae_denoise_ar4 ~0.9 fps   (10 UNet steps @512px ~100ms each on 3090 +
+                              2 VAE decodes + 2 encodes + >=6 host round
+                              trips per frame: ~1.1 s/frame;
+                              prediction/predict.py:145-186)
+  train_flagship  ~10 step/s (VAE-less flagship step: batch 6 x 10-frame
+                              clips, transformer fwd/bwd ~60ms + loss +
+                              host batch staging ~40ms)
 """
 
 import json
@@ -31,35 +49,64 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BASELINE_FPS = 150.0  # estimated reference 3090 fps, see module docstring
-
-# SDVG_BENCH_INT8=1 switches the rollout to the int8 quantized serving path
-# (ops/quantized.py): measured 41.5K vs 29.8K fps at B=256 on v5e. Default
-# stays bf16 — numerics-identical to f32 within bf16 rounding, while int8
-# carries a few-percent activation drift (see tests/test_quantized.py).
+# SDVG_BENCH_INT8=1 switches the pixel-scenario rollout to the int8
+# quantized serving path (ops/quantized.py): measured 41.5K vs 29.8K fps at
+# B=256 on v5e. Default stays bf16.
 USE_INT8 = bool(os.environ.get("SDVG_BENCH_INT8"))
+# Comma list to run a subset, e.g. SDVG_BENCH_SCENARIOS=pixel,train
+ONLY = set(filter(None, os.environ.get("SDVG_BENCH_SCENARIOS", "").split(",")))
 
 FRAME_SIZE = 64
 PRED_FRAMES = 16
 CONTEXT = 5
-# Throughput scenario: serve many streams per chip. Measured knee on v5e:
-# B=32: 15.4K, 64: 22.4K, 128: 27.4K, 256: 29.8K, 512: 30.9K fps — the
-# rollout shifts from weight-bandwidth-bound to MXU-bound around B~128.
-BATCH = 256
-REPEATS = 4    # pipeline iterations chained inside one dispatch
+
+BASELINES = {"pixel_ar16": 150.0, "vae_ar16": 115.0,
+             "vae_denoise_ar4": 0.9, "train_flagship": 10.0}
 
 
-def build_pipeline():
+def _flagship_model(latent_dim):
     from sd_video_gen_tpu.models import FrameTransformer, FrameTransformerConfig
-    from sd_video_gen_tpu.codecs import PixelCodec
-    from sd_video_gen_tpu.ops.rollout import ar_rollout
-
-    codec = PixelCodec(FRAME_SIZE)
-    mc = FrameTransformerConfig(latent_dim=codec.latent_dim, dim_model=2048,
+    mc = FrameTransformerConfig(latent_dim=latent_dim, dim_model=2048,
                                 num_heads=8, num_encoder_layers=4,
                                 num_decoder_layers=8, dropout_p=0.0,
                                 dtype=jnp.bfloat16)
-    model = FrameTransformer(mc)
+    return FrameTransformer(mc)
+
+
+def _context_frames(batch, size=FRAME_SIZE):
+    from sd_video_gen_tpu.data.synthetic import _render_sequence
+    rng = np.random.default_rng(0)
+    return np.stack([_render_sequence(CONTEXT, size, rng)
+                     for _ in range(batch)])
+
+
+def _bf16(params):
+    return jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params)
+
+
+def _time_best(fn, *args, tries=3):
+    _ = np.asarray(fn(*args))  # compile + warmup
+    best = float("inf")
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        _ = np.asarray(fn(*args))  # scalar fetch = reliable sync
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def scenario_pixel():
+    """16-frame AR prediction, pixel codec. Throughput scenario: serve many
+    streams per chip. Measured knee on v5e: B=32: 15.4K, 64: 22.4K, 128:
+    27.4K, 256: 29.8K, 512: 30.9K fps — the rollout shifts from
+    weight-bandwidth-bound to MXU-bound around B~128."""
+    from sd_video_gen_tpu.codecs import PixelCodec
+    from sd_video_gen_tpu.ops.rollout import ar_rollout
+
+    BATCH, REPEATS = 256, 4
+    codec = PixelCodec(FRAME_SIZE)
+    model = _flagship_model(codec.latent_dim)
 
     if USE_INT8:
         from sd_video_gen_tpu.ops.quantized import quantized_ar_apply
@@ -70,64 +117,185 @@ def build_pipeline():
     else:
         apply_fn = model.apply
 
-    def pipeline(params, frames_u8):
-        """uint8 context frames -> uint8 predicted frames (B*P, H, W, 3)."""
-        latents = codec.encode_batch(frames_u8, use_sos=True)
-        preds = ar_rollout(apply_fn, params, latents, PRED_FRAMES,
-                           window=CONTEXT)
-        return codec.decode_latents(preds.reshape(-1, codec.latent_dim))
-
-    return model, codec, pipeline
-
-
-def main():
-    from sd_video_gen_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-    from sd_video_gen_tpu.data.synthetic import _render_sequence
-
-    model, codec, pipeline = build_pipeline()
-    rng = np.random.default_rng(0)
-    frames = np.stack([_render_sequence(CONTEXT, FRAME_SIZE, rng)
-                       for _ in range(BATCH)])
-
+    frames = _context_frames(BATCH)
     sample_lat = codec.encode_batch(jnp.asarray(frames), use_sos=True)
     params = model.init(jax.random.PRNGKey(0), sample_lat, sample_lat[:, :-1])
     if USE_INT8:
         from sd_video_gen_tpu.ops.quantized import quantize_frame_transformer
         params = quantize_frame_transformer(params)
     else:
-        # inference-time bf16 params: at small batch the AR rollout is
-        # parameter-bandwidth bound (~1.8GB of weights re-read per step) —
-        # halving the bytes nearly doubles frames/sec on a v5e chip.
-        params = jax.tree.map(
-            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
-            params)
+        # at small batch the AR rollout is parameter-bandwidth bound (~1.8GB
+        # of weights re-read per step) — bf16 halves the bytes.
+        params = _bf16(params)
 
     @jax.jit
     def timed(params, frames_u8):
         def body(carry, _):
-            out = pipeline(params, carry)
-            # feed predictions back as the next context (data dependence)
+            lat = codec.encode_batch(carry, use_sos=True)
+            preds = ar_rollout(apply_fn, params, lat, PRED_FRAMES,
+                               window=CONTEXT)
+            out = codec.decode_latents(preds.reshape(-1, codec.latent_dim))
             nxt = out.reshape(BATCH, PRED_FRAMES, FRAME_SIZE, FRAME_SIZE, 3)
             return nxt[:, :CONTEXT], jnp.sum(out.astype(jnp.int32))
         _, sums = jax.lax.scan(body, frames_u8, None, length=REPEATS)
-        return jnp.sum(sums)  # scalar checksum forces full execution
+        return jnp.sum(sums)
 
-    x = jnp.asarray(frames)
-    _ = np.asarray(timed(params, x))  # compile + warmup
+    best = _time_best(timed, params, jnp.asarray(frames))
+    return BATCH * PRED_FRAMES * REPEATS / best, "frames/sec/chip"
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = np.asarray(timed(params, x))  # scalar fetch = reliable sync
-        best = min(best, time.perf_counter() - t0)
 
-    fps = BATCH * PRED_FRAMES * REPEATS / best
+def scenario_vae():
+    """Same 16-frame AR pipeline with the real SD VAE codec. Random-init
+    weights (none shipped in this env) are FLOP/layout-identical to
+    converted SD-v1.4. Decode runs per-frame-step via lax.map to bound the
+    decoder's 64x-upsampled activations."""
+    from sd_video_gen_tpu.diffusion.vae_codec import VAECodec
+    from sd_video_gen_tpu.ops.rollout import ar_rollout
+
+    BATCH, REPEATS = 32, 2
+    codec = VAECodec(FRAME_SIZE, dtype=jnp.bfloat16)
+    model = _flagship_model(codec.latent_dim)
+    vp = _bf16(codec.params)
+
+    frames = _context_frames(BATCH)
+    sample_lat = codec.encode_batch(jnp.asarray(frames), use_sos=True,
+                                    params=vp)
+    params = _bf16(model.init(jax.random.PRNGKey(0), sample_lat,
+                              sample_lat[:, :-1]))
+
+    @jax.jit
+    def timed(params, vp, frames_u8):
+        def body(carry, _):
+            lat = codec.encode_batch(carry, use_sos=True, params=vp)
+            preds = ar_rollout(model.apply, params, lat, PRED_FRAMES,
+                               window=CONTEXT)
+            # (P, B, H, W, 3): decode one frame-step at a time
+            out = jax.lax.map(
+                lambda z: codec.decode_latents(z, params=vp),
+                preds.transpose(1, 0, 2))
+            nxt = out[:CONTEXT].transpose(1, 0, 2, 3, 4)
+            return nxt, jnp.sum(out.astype(jnp.int32))
+        _, sums = jax.lax.scan(body, frames_u8, None, length=REPEATS)
+        return jnp.sum(sums)
+
+    best = _time_best(timed, params, vp, jnp.asarray(frames))
+    return BATCH * PRED_FRAMES * REPEATS / best, "frames/sec/chip"
+
+
+def scenario_denoise():
+    """North-star pipeline: every rollout step refined by the SD UNet partial
+    denoise at 512px (reference prediction/predict.py --denoise,
+    denoise_start_step=40 → 10 DDIM steps/frame). bf16 UNet: its 4096-token
+    spatial attention dispatches to the Pallas flash kernel (PARITY.md)."""
+    from sd_video_gen_tpu.config import Config
+    from sd_video_gen_tpu.diffusion.sd import SDPipeline
+    from sd_video_gen_tpu.diffusion.refine import make_denoise_refiner
+    from sd_video_gen_tpu.diffusion.vae_codec import VAECodec
+    from sd_video_gen_tpu.ops.rollout import ar_rollout
+
+    BATCH, PRED = 1, 4
+    cfg = Config(config_name="bench", frame_size=FRAME_SIZE)
+    pipe = SDPipeline(frame_size=512, dtype=jnp.bfloat16)
+    refine_apply, rp = make_denoise_refiner(cfg, start_step=40,
+                                            pipeline=pipe, hi_res=512)
+    rp = _bf16(rp)
+    codec = VAECodec(FRAME_SIZE, params=pipe.vae.params, cfg=pipe.vae.cfg)
+    model = _flagship_model(codec.latent_dim)
+
+    frames = _context_frames(BATCH)
+    sample_lat = codec.encode_batch(jnp.asarray(frames), use_sos=True,
+                                    params=rp["vae"])
+    params = _bf16(model.init(jax.random.PRNGKey(0), sample_lat,
+                              sample_lat[:, :-1]))
+
+    @jax.jit
+    def timed(params, rp, frames_u8):
+        lat = codec.encode_batch(frames_u8, use_sos=True, params=rp["vae"])
+        preds = ar_rollout(model.apply, params, lat, PRED, window=CONTEXT,
+                           refine_fn=lambda z, step: refine_apply(rp, z, step))
+        out = codec.decode_latents(preds.reshape(-1, codec.latent_dim),
+                                   params=rp["vae"])
+        return jnp.sum(out.astype(jnp.int32))
+
+    best = _time_best(timed, params, rp, jnp.asarray(frames))
+    return BATCH * PRED / best, "frames/sec/chip"
+
+
+def scenario_train():
+    """Training steps/sec at the flagship config (11_27_ucf_final.yml):
+    batch 6, 128px (latent_dim 1024), dim 2048, 4 enc + 8 dec, composite
+    MSE+GDL+NCE loss, Adam. Chains STEPS optimizer steps in one dispatch
+    (state is the carry — a real dependence chain)."""
+    from sd_video_gen_tpu.config import Config
+    from sd_video_gen_tpu.codecs import PixelCodec
+    from sd_video_gen_tpu.ops import LossWeights
+    from sd_video_gen_tpu.train.trainer import make_train_step
+
+    STEPS = 8
+    cfg = Config(config_name="11_27_ucf_final", lr=1e-5, batch_size=6,
+                 frames_per_clip=5, frames_to_predict=5, frame_size=128,
+                 dim_model=2048, num_heads=8, num_encoder_layers=4,
+                 num_decoder_layers=8, dropout_p=0.1, use_mse=True,
+                 use_gdl=True, lambda_gdl=1.0, use_contrastive=True,
+                 lambda_contrastive=0.025)
+    codec = PixelCodec(cfg.frame_size)
+    from sd_video_gen_tpu.models import FrameTransformer, FrameTransformerConfig
+    mc = FrameTransformerConfig(latent_dim=codec.latent_dim,
+                                dim_model=cfg.dim_model,
+                                num_heads=cfg.num_heads,
+                                num_encoder_layers=cfg.num_encoder_layers,
+                                num_decoder_layers=cfg.num_decoder_layers,
+                                dropout_p=cfg.dropout_p)
+    model = FrameTransformer(mc)
+    init_fn, step_fn = make_train_step(model, codec,
+                                       LossWeights.from_config(cfg), cfg)
+
+    frames = np.random.default_rng(0).integers(
+        0, 255, (cfg.batch_size, cfg.frames_per_clip + cfg.frames_to_predict,
+                 cfg.frame_size, cfg.frame_size, 3)).astype(np.uint8)
+    batch = jnp.asarray(frames)
+    state = init_fn(jax.random.PRNGKey(0), batch)
+
+    @jax.jit
+    def timed(state, batch):
+        def body(state, i):
+            state, comps = step_fn(state, batch,
+                                   jax.random.fold_in(jax.random.PRNGKey(1), i))
+            return state, comps["total"]
+        state, losses = jax.lax.scan(body, state, jnp.arange(STEPS))
+        return jnp.sum(losses)
+
+    best = _time_best(timed, state, batch)
+    return STEPS / best, "steps/sec/chip"
+
+
+SCENARIOS = [("pixel_ar16", scenario_pixel), ("vae_ar16", scenario_vae),
+             ("vae_denoise_ar4", scenario_denoise),
+             ("train_flagship", scenario_train)]
+
+
+def main():
+    from sd_video_gen_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    results = {}
+    for name, fn in SCENARIOS:
+        if ONLY and not any(name == o or name.startswith(o) for o in ONLY):
+            continue
+        value, unit = fn()
+        results[name] = {"value": round(value, 2), "unit": unit,
+                         "vs_baseline": round(value / BASELINES[name], 2)}
+        print(json.dumps({"scenario": name, **results[name]}), flush=True)
+
+    if not results:
+        raise SystemExit(f"no scenario matched SDVG_BENCH_SCENARIOS={ONLY}")
+    primary = results.get("vae_denoise_ar4") or next(iter(results.values()))
     print(json.dumps({
-        "metric": "generated_frames_per_sec_64px_ar16",
-        "value": round(fps, 2),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "metric": "generated_frames_per_sec_64px_vae_denoise10_ar",
+        "value": primary["value"],
+        "unit": primary["unit"],
+        "vs_baseline": primary["vs_baseline"],
+        "scenarios": results,
     }))
 
 

@@ -217,6 +217,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="UCF train/test split list dir (reference hardcoded "
                         "this path — trainers/trainer.py:387)")
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
+    p.add_argument("--torch_checkpoint", type=str, default=None,
+                   help="a reference-trained .pt state_dict "
+                        "(trainers/trainer.py:472) to convert and serve "
+                        "instead of an Orbax checkpoint; .pt files matching "
+                        "the reference naming in --checkpoint_dir are also "
+                        "picked up automatically")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=str, default=None,
                    help="device mesh spec, e.g. 'data=8' or 'data=4,model=2'")

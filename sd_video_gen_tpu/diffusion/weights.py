@@ -35,18 +35,19 @@ class _TrackedDict(dict):
 _IGNORED_KEY_PARTS = ("position_ids", "num_batches_tracked")
 
 
-def convert_exhaustive(kind: str, sd: dict):
+def convert_exhaustive(kind: str, sd: dict, **kw):
     """Convert and PROVE every source key was consumed.
 
-    kind in {'vae', 'unet', 'clip'}. Raises ValueError listing any key the
-    converter never read (a missed weight would otherwise silently keep its
-    random init — the reference's from_pretrained would have errored).
-    Returns the converted param tree.
+    kind in {'vae', 'unet', 'clip', 'transformer'}. Raises ValueError listing
+    any key the converter never read (a missed weight would otherwise
+    silently keep its random init — the reference's from_pretrained would
+    have errored). Returns the converted param tree.
     """
     fns = {"vae": convert_vae, "unet": convert_unet,
-           "clip": convert_clip_text}
+           "clip": convert_clip_text,
+           "transformer": convert_frame_transformer}
     tracked = _TrackedDict(sd)
-    params = fns[kind](tracked)
+    params = fns[kind](tracked, **kw)
     leftover = sorted(
         k for k in sd
         if k not in tracked.consumed
@@ -313,3 +314,80 @@ def convert_vae(sd: dict, block_out=(128, 256, 512, 512),
         "quant_conv": _conv(sd, "quant_conv"),
         "post_quant_conv": _conv(sd, "post_quant_conv"),
     }}
+
+
+def convert_frame_transformer(sd: dict, mode: str = "ar") -> dict:
+    """Reference trainer checkpoint -> FrameTransformer params.
+
+    The reference saves ``torch.save(model.state_dict())`` of its
+    models/transformer*.py classes (trainers/trainer.py:472, loaded back at
+    prediction/predict.py:51). Key map:
+
+      embedding / project_image_embedding / out   Linear -> Dense (transpose)
+      layers.N.self_attn.in_proj_weight (3D, D)   -> fused qkv Dense (D, 3D)
+      decoder layers.N.multihead_attn.in_proj     -> cross_attn q/k/v split
+      layers.N.linear1/linear2                    -> ffn lin1/lin2
+      layers.N.norm1/2/3                          -> norm1/2/3 (scale/bias)
+      transformer.encoder.norm / decoder.norm     -> enc_norm / dec_norm
+                                                     (the stacks' FINAL LNs)
+      learned_tgt (future) / query_pos + norm (learned_tgt) -> same names
+      positional_encoder.pos_encoding buffer      -> consumed only; positions
+                                                     are generated functionally
+                                                     (models/positional.py)
+    """
+    for k in list(sd):  # positional buffer: bookkeeping, not a param
+        if "positional_encoder" in k:
+            _ = sd[k]
+
+    def fused_attn(p):
+        w = np.asarray(sd[p + ".in_proj_weight"])
+        b = np.asarray(sd[p + ".in_proj_bias"])
+        return {"qkv": {"kernel": jnp.asarray(w.T), "bias": jnp.asarray(b)},
+                "out": _dense(sd, p + ".out_proj")}
+
+    def split_attn(p):
+        w = np.asarray(sd[p + ".in_proj_weight"])
+        b = np.asarray(sd[p + ".in_proj_bias"])
+        D = w.shape[0] // 3
+        parts = {}
+        for j, name in enumerate(("q", "k", "v")):
+            parts[name] = {"kernel": jnp.asarray(w[j * D:(j + 1) * D].T),
+                           "bias": jnp.asarray(b[j * D:(j + 1) * D])}
+        parts["out"] = _dense(sd, p + ".out_proj")
+        return parts
+
+    def ffn(p):
+        return {"lin1": _dense(sd, p + ".linear1"),
+                "lin2": _dense(sd, p + ".linear2")}
+
+    p: dict = {}
+    embed = "project_image_embedding" if mode == "text" else "embedding"
+    p[embed] = _dense(sd, embed)
+    p["out"] = _dense(sd, "out")
+    if mode == "future":
+        p["learned_tgt"] = jnp.asarray(np.asarray(sd["learned_tgt"]))
+    if mode == "learned_tgt":
+        p["query_pos"] = jnp.asarray(np.asarray(sd["query_pos"]))
+        p["tgt_norm"] = _norm(sd, "norm")
+
+    i = 0
+    while f"transformer.encoder.layers.{i}.norm1.weight" in sd:
+        lp = f"transformer.encoder.layers.{i}"
+        p[f"enc_{i}"] = {"self_attn": fused_attn(lp + ".self_attn"),
+                         "ffn": ffn(lp),
+                         "norm1": _norm(sd, lp + ".norm1"),
+                         "norm2": _norm(sd, lp + ".norm2")}
+        i += 1
+    p["enc_norm"] = _norm(sd, "transformer.encoder.norm")
+    i = 0
+    while f"transformer.decoder.layers.{i}.norm1.weight" in sd:
+        lp = f"transformer.decoder.layers.{i}"
+        p[f"dec_{i}"] = {"self_attn": fused_attn(lp + ".self_attn"),
+                         "cross_attn": split_attn(lp + ".multihead_attn"),
+                         "ffn": ffn(lp),
+                         "norm1": _norm(sd, lp + ".norm1"),
+                         "norm2": _norm(sd, lp + ".norm2"),
+                         "norm3": _norm(sd, lp + ".norm3")}
+        i += 1
+    p["dec_norm"] = _norm(sd, "transformer.decoder.norm")
+    return {"params": p}

@@ -236,12 +236,16 @@ class FrameTransformer(nn.Module):
         tgt = drop(tgt + pos_table[None, : tgt.shape[1]].astype(c.dtype),
                    deterministic=deterministic)
 
+        # torch nn.Transformer applies a FINAL LayerNorm after each stack
+        # (encoder.norm / decoder.norm) — required for checkpoint parity.
         memory = src
         for i in range(c.num_encoder_layers):
             memory = EncoderLayer(c, name=f"enc_{i}")(memory, deterministic)
+        memory = _ln("enc_norm")(memory)
         x = tgt
         for i in range(c.num_decoder_layers):
             x = DecoderLayer(c, name=f"dec_{i}")(x, memory, tgt_mask, deterministic)
+        x = _ln("dec_norm")(x)
 
         out = nn.Dense(c.latent_dim, dtype=c.dtype, param_dtype=c.param_dtype,
                        name="out")(x)

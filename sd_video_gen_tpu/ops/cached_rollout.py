@@ -166,7 +166,7 @@ def cached_rollout(cfg, params, context: jnp.ndarray,
     h = embed(context, 0)
     for i in range(cfg.num_encoder_layers):
         h = _enc_layer(p[f"enc_{i}"], h, H, dtype)
-    memory = h
+    memory = _ln(p["enc_norm"], h).astype(dtype)  # final stack norm
 
     # cross-attention K/V of the frozen memory: once per layer
     mems = []
@@ -187,6 +187,7 @@ def cached_rollout(cfg, params, context: jnp.ndarray,
                                                    k.astype(dtype), (0, 0, 0, 0))
         v_caches[i] = jax.lax.dynamic_update_slice(v_caches[i],
                                                    v.astype(dtype), (0, 0, 0, 0))
+    x = _ln(p["dec_norm"], x).astype(dtype)  # final stack norm
     first = _dense(p["out"], x[:, -1:], dtype).astype(jnp.float32)  # (B,1,L)
     if refine_fn is not None:
         first = refine_fn(first[:, 0], jnp.int32(0))[:, None]
@@ -204,6 +205,7 @@ def cached_rollout(cfg, params, context: jnp.ndarray,
                                         T0 - 1 + i, H, dtype)
             new_k.append(kc)
             new_v.append(vc)
+        x = _ln(p["dec_norm"], x).astype(dtype)  # final stack norm
         out = _dense(p["out"], x, dtype).astype(jnp.float32)  # (B,1,L)
         if refine_fn is not None:
             out = refine_fn(out[:, 0], i)[:, None]

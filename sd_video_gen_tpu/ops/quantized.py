@@ -80,8 +80,9 @@ def _q(p):  # quantize a Dense param dict
 def quantize_frame_transformer(params: dict) -> dict:
     """FrameTransformer 'ar' params -> quantized param tree (Dense -> QTensor)."""
     p = params["params"]
-    out = {"embedding": _q(p["embedding"]), "out": _q(p["out"]), "enc": [],
-           "dec": []}
+    out = {"embedding": _q(p["embedding"]), "out": _q(p["out"]),
+           "enc_norm": p["enc_norm"], "dec_norm": p["dec_norm"],
+           "enc": [], "dec": []}
 
     def attn(a):
         d = {k: _q(a[k]) for k in a if k in ("qkv", "q", "k", "v", "out")}
@@ -152,9 +153,11 @@ def quantized_ar_apply(qp, src, tgt, tgt_mask=None, num_heads: int = 8,
     for e in qp["enc"]:
         m = _ln(m + _mha(m, m, e["self_attn"], num_heads), e["norm1"])
         m = _ln(m + ffn(m, e["ffn"]), e["norm2"])
+    m = _ln(m, qp["enc_norm"])  # final stack norm (torch encoder.norm)
     x = tgt
     for d in qp["dec"]:
         x = _ln(x + _mha(x, x, d["self_attn"], num_heads, tgt_mask), d["norm1"])
         x = _ln(x + _mha(x, m, d["cross_attn"], num_heads), d["norm2"])
         x = _ln(x + ffn(x, d["ffn"]), d["norm3"])
+    x = _ln(x, qp["dec_norm"])  # final stack norm (torch decoder.norm)
     return qdense(x, qp["out"]["q"], qp["out"]["bias"])

@@ -41,6 +41,18 @@ def load_model_params(cfg, args, model, codec, mode_flag: str):
     (prediction/predict.py:51 naming)."""
     path = ckpt.checkpoint_path(args.checkpoint_dir, args.config, args.index,
                                 mode_flag or args.mode or "test")
+    # Reference-trained torch checkpoints: --torch_checkpoint, or a .pt file
+    # with the reference's exact naming sitting in the checkpoint dir
+    # (prediction/predict.py:51 loads './checkpoints/<cfg>_<idx>_<mode>.pt').
+    torch_path = getattr(args, "torch_checkpoint", None)
+    if torch_path is None and os.path.isfile(path + ".pt"):
+        torch_path = path + ".pt"
+    if torch_path is not None:
+        from sd_video_gen_tpu.diffusion.weights import (load_state_dict,
+                                                        convert_exhaustive)
+        mode = getattr(getattr(model, "cfg", None), "mode", "ar")
+        return convert_exhaustive("transformer", load_state_dict(torch_path),
+                                  mode=mode)
     # Build the abstract TrainState matching what the trainer saved —
     # everything under eval_shape so no real VAE encode runs at CLI startup.
     sample = jnp.zeros((1, cfg.frames_per_clip, cfg.frame_size,

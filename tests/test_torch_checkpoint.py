@@ -1,0 +1,190 @@
+"""Reference-checkpoint conversion: full-forward parity vs REAL torch.
+
+The strongest transformer oracle in the suite: the torch side is an actual
+``nn.Transformer`` (the exact module the reference builds —
+models/transformer.py:38-45), not a hand-built replica, so post-LN layout,
+fused in_proj, ReLU FFN, LayerNorm eps, softmax dropout placement AND the
+stacks' final norms are all torch's own. Positional encoding is applied per
+timestep on both sides (the reference's per-BATCH-index application is a
+documented deviation — see PARITY.md).
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import jax
+import jax.numpy as jnp
+
+from sd_video_gen_tpu.diffusion.weights import (convert_exhaustive,
+                                                convert_frame_transformer,
+                                                assert_matches_model)
+from sd_video_gen_tpu.models import FrameTransformer, FrameTransformerConfig
+from sd_video_gen_tpu.models.positional import sinusoidal_positions
+from sd_video_gen_tpu.ops.masks import causal_mask
+
+L, D, H, NE, ND, FF = 16, 32, 4, 2, 2, 64
+
+
+class _TorchRef(nn.Module):
+    """The reference Transformer (models/transformer.py:9-67) with the
+    per-timestep positional fix and dropout 0 (eval parity)."""
+
+    def __init__(self, latent=L, dim=D, mode="ar", k=3):
+        super().__init__()
+        self.dim = dim
+        self.mode = mode
+        width = dim + 384 if mode == "text" else dim
+        self.width = width
+        if mode == "text":
+            self.project_image_embedding = nn.Linear(latent, dim)
+        else:
+            self.embedding = nn.Linear(latent, width)
+        self.transformer = nn.Transformer(
+            d_model=width, nhead=H, num_encoder_layers=NE,
+            num_decoder_layers=ND, dim_feedforward=FF, dropout=0.0)
+        self.out = nn.Linear(width, latent)
+        if mode == "future":
+            self.learned_tgt = nn.Parameter(torch.randn(1, k, latent))
+        if mode == "learned_tgt":
+            self.query_pos = nn.Parameter(torch.rand(k, latent))
+            self.norm = nn.LayerNorm(latent)
+        pos = np.asarray(sinusoidal_positions(64, width))
+        self.register_buffer("positional_encoder_pos", torch.tensor(pos))
+
+    def forward(self, src, tgt, tgt_mask=None, text=None):
+        if self.mode == "learned_tgt":
+            N = src.shape[0]
+            q = self.norm(torch.zeros_like(self.query_pos)) + self.query_pos
+            tgt = q.unsqueeze(0).repeat(N, 1, 1)
+        if self.mode == "text":
+            s = self.project_image_embedding(src)
+            t = self.project_image_embedding(tgt)
+            txt_s = text.unsqueeze(1).repeat(1, s.shape[1], 1)
+            txt_t = text.unsqueeze(1).repeat(1, t.shape[1], 1)
+            src = torch.cat((s, txt_s), -1) * math.sqrt(self.width)
+            tgt = torch.cat((t, txt_t), -1) * math.sqrt(self.width)
+        else:
+            src = self.embedding(src) * math.sqrt(self.width)
+            tgt = self.embedding(tgt) * math.sqrt(self.width)
+        src = src + self.positional_encoder_pos[: src.shape[1]]
+        tgt = tgt + self.positional_encoder_pos[: tgt.shape[1]]
+        y = self.transformer(src.permute(1, 0, 2), tgt.permute(1, 0, 2),
+                             tgt_mask=tgt_mask)
+        return self.out(y).permute(1, 0, 2)
+
+
+def _state_dict(tm):
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()
+          if k != "positional_encoder_pos"}
+    # reference checkpoints carry the PE buffer under this name
+    sd["positional_encoder.pos_encoding"] = (
+        tm.positional_encoder_pos.numpy()[:, None, :])
+    return sd
+
+
+def _cfg(mode="ar", k=3):
+    return FrameTransformerConfig(latent_dim=L, dim_model=D, num_heads=H,
+                                  num_encoder_layers=NE, num_decoder_layers=ND,
+                                  dim_feedforward=FF, dropout_p=0.0,
+                                  mode=mode, frames_to_predict=k)
+
+
+@torch.no_grad()
+def test_ar_full_forward_parity(rng):
+    tm = _TorchRef().eval()
+    params = convert_exhaustive("transformer", _state_dict(tm))
+    model = FrameTransformer(_cfg())
+    src = rng.standard_normal((2, 5, L)).astype(np.float32)
+    tgt = rng.standard_normal((2, 4, L)).astype(np.float32)
+
+    ours = model.apply(params, jnp.asarray(src), jnp.asarray(tgt),
+                       tgt_mask=causal_mask(4))
+    mask = torch.from_numpy(np.asarray(causal_mask(4)))
+    ref = tm(torch.from_numpy(src), torch.from_numpy(tgt), tgt_mask=mask)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+@torch.no_grad()
+def test_conversion_bidirectional_exhaustive(rng):
+    """Every checkpoint key consumed; every model param filled (all modes)."""
+    for mode in ("ar", "future", "learned_tgt", "text"):
+        tm = _TorchRef(mode=mode).eval()
+        params = convert_exhaustive("transformer", _state_dict(tm), mode=mode)
+        model = FrameTransformer(_cfg(mode=mode))
+        src = jnp.zeros((1, 4, L))
+        kw = {}
+        if mode == "text":
+            kw["text_embeds"] = jnp.zeros((1, 384))
+        abstract = jax.eval_shape(
+            lambda s: model.init(jax.random.PRNGKey(0), s, s, **kw), src)
+        assert_matches_model(params, abstract)
+
+
+@torch.no_grad()
+def test_future_mode_parity(rng):
+    tm = _TorchRef(mode="future").eval()
+    params = convert_frame_transformer(_state_dict(tm), mode="future")
+    model = FrameTransformer(_cfg(mode="future"))
+    src = rng.standard_normal((2, 4, L)).astype(np.float32)
+    ours = model.apply({"params": params["params"]}, jnp.asarray(src),
+                       jnp.asarray(src))
+    ref = tm(torch.from_numpy(src), torch.from_numpy(src))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+@torch.no_grad()
+def test_learned_tgt_mode_parity(rng):
+    tm = _TorchRef(mode="learned_tgt").eval()
+    params = convert_frame_transformer(_state_dict(tm), mode="learned_tgt")
+    model = FrameTransformer(_cfg(mode="learned_tgt"))
+    src = rng.standard_normal((2, 4, L)).astype(np.float32)
+    ours = model.apply(params, jnp.asarray(src), None)
+    ref = tm(torch.from_numpy(src), None)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+@torch.no_grad()
+def test_text_mode_parity(rng):
+    tm = _TorchRef(mode="text").eval()
+    params = convert_frame_transformer(_state_dict(tm), mode="text")
+    model = FrameTransformer(_cfg(mode="text"))
+    src = rng.standard_normal((2, 4, L)).astype(np.float32)
+    tgt = rng.standard_normal((2, 3, L)).astype(np.float32)
+    emb = rng.standard_normal((2, 384)).astype(np.float32)
+    ours = model.apply(params, jnp.asarray(src), jnp.asarray(tgt),
+                       tgt_mask=causal_mask(3), text_embeds=jnp.asarray(emb))
+    mask = torch.from_numpy(np.asarray(causal_mask(3)))
+    ref = tm(torch.from_numpy(src), torch.from_numpy(tgt), tgt_mask=mask,
+             text=torch.from_numpy(emb))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_predict_cli_autodetects_reference_pt(rng, tmp_path):
+    """A reference-named .pt dropped into --checkpoint_dir is converted."""
+    from types import SimpleNamespace
+
+    tm = _TorchRef().eval()
+    torch.save(tm.state_dict(), tmp_path / "ballcfg_0_test.pt")
+    # the real reference checkpoint also carries the PE buffer
+    sd_file = torch.load(tmp_path / "ballcfg_0_test.pt", weights_only=True)
+    assert "positional_encoder_pos" in sd_file  # buffer present like reference
+
+    from sd_video_gen_tpu.predict.predict import load_model_params
+    model = FrameTransformer(_cfg())
+    args = SimpleNamespace(checkpoint_dir=str(tmp_path), config="ballcfg",
+                           index=0, mode="", torch_checkpoint=None)
+    params = load_model_params(None, args, model, None, "test")
+    direct = convert_frame_transformer(
+        {k: v.numpy() for k, v in tm.state_dict().items()})
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(direct)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
