@@ -118,8 +118,11 @@ def scenario_pixel():
         apply_fn = model.apply
 
     frames = _context_frames(BATCH)
-    sample_lat = codec.encode_batch(jnp.asarray(frames), use_sos=True)
-    params = model.init(jax.random.PRNGKey(0), sample_lat, sample_lat[:, :-1])
+    # jit setup paths: one dispatch each (eager = per-op tunnel RPCs)
+    sample_lat = jax.jit(lambda f: codec.encode_batch(f, use_sos=True))(
+        jnp.asarray(frames))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample_lat,
+                                 sample_lat[:, :-1])
     if USE_INT8:
         from sd_video_gen_tpu.ops.quantized import quantize_frame_transformer
         params = quantize_frame_transformer(params)
@@ -158,10 +161,11 @@ def scenario_vae():
     vp = _bf16(codec.params)
 
     frames = _context_frames(BATCH)
-    sample_lat = codec.encode_batch(jnp.asarray(frames), use_sos=True,
-                                    params=vp)
-    params = _bf16(model.init(jax.random.PRNGKey(0), sample_lat,
-                              sample_lat[:, :-1]))
+    sample_lat = jax.jit(lambda f, p: codec.encode_batch(f, use_sos=True,
+                                                         params=p))(
+        jnp.asarray(frames), vp)
+    params = _bf16(jax.jit(model.init)(jax.random.PRNGKey(0), sample_lat,
+                                       sample_lat[:, :-1]))
 
     @jax.jit
     def timed(params, vp, frames_u8):
@@ -203,10 +207,11 @@ def scenario_denoise():
     model = _flagship_model(codec.latent_dim)
 
     frames = _context_frames(BATCH)
-    sample_lat = codec.encode_batch(jnp.asarray(frames), use_sos=True,
-                                    params=rp["vae"])
-    params = _bf16(model.init(jax.random.PRNGKey(0), sample_lat,
-                              sample_lat[:, :-1]))
+    sample_lat = jax.jit(lambda f, p: codec.encode_batch(f, use_sos=True,
+                                                         params=p))(
+        jnp.asarray(frames), rp["vae"])
+    params = _bf16(jax.jit(model.init)(jax.random.PRNGKey(0), sample_lat,
+                                       sample_lat[:, :-1]))
 
     @jax.jit
     def timed(params, rp, frames_u8):
@@ -254,7 +259,7 @@ def scenario_train():
         0, 255, (cfg.batch_size, cfg.frames_per_clip + cfg.frames_to_predict,
                  cfg.frame_size, cfg.frame_size, 3)).astype(np.uint8)
     batch = jnp.asarray(frames)
-    state = init_fn(jax.random.PRNGKey(0), batch)
+    state = jax.jit(init_fn)(jax.random.PRNGKey(0), batch)
 
     @jax.jit
     def timed(state, batch):
@@ -270,17 +275,26 @@ def scenario_train():
 
 
 SCENARIOS = [("pixel_ar16", scenario_pixel), ("vae_ar16", scenario_vae),
-             ("vae_denoise_ar4", scenario_denoise),
-             ("train_flagship", scenario_train)]
+             ("train_flagship", scenario_train),
+             ("vae_denoise_ar4", scenario_denoise)]
 
 
 def main():
     from sd_video_gen_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    # Soft budget: SD-scale first compiles take minutes; with a cold XLA
+    # cache, emit what completed rather than nothing. Warm-cache full run is
+    # a couple of minutes.
+    budget = float(os.environ.get("SDVG_BENCH_BUDGET_S", 2400))
+    t_start = time.perf_counter()
     results = {}
     for name, fn in SCENARIOS:
         if ONLY and not any(name == o or name.startswith(o) for o in ONLY):
+            continue
+        if time.perf_counter() - t_start > budget:
+            print(json.dumps({"scenario": name, "skipped": "time budget"}),
+                  flush=True)
             continue
         value, unit = fn()
         results[name] = {"value": round(value, 2), "unit": unit,

@@ -52,12 +52,15 @@ class SDPipeline:
                           "random init (outputs are not SD samples)")
             z = jnp.zeros((1, 8, 8, self.unet_cfg.in_channels))
             ctx = jnp.zeros((1, 2, self.unet_cfg.cross_attention_dim))
-            unet_params = self.unet.init(jax.random.PRNGKey(0), z,
-                                         jnp.zeros((1,), jnp.int32), ctx)
+            # jit: single dispatch (eager init is minutes over the dev tunnel)
+            unet_params = jax.jit(self.unet.init)(jax.random.PRNGKey(0), z,
+                                                  jnp.zeros((1,), jnp.int32),
+                                                  ctx)
         self.unet_params = unet_params
         if clip_params is None:
-            clip_params = self.clip.init(jax.random.PRNGKey(0),
-                                         empty_prompt_ids(1, self.clip_cfg.max_length))
+            clip_params = jax.jit(self.clip.init)(
+                jax.random.PRNGKey(0),
+                empty_prompt_ids(1, self.clip_cfg.max_length))
         self.clip_params = clip_params
         self._jit_cache: dict = {}
 
@@ -111,18 +114,25 @@ class SDPipeline:
                               truncation=True, return_tensors="np")
         return jnp.asarray(out["input_ids"], jnp.int32)
 
+    def _clip_apply(self):
+        f = self._jit_cache.get("clip_apply")
+        if f is None:
+            f = jax.jit(self.clip.apply)
+            self._jit_cache["clip_apply"] = f
+        return f
+
     def encode_text(self, prompts: list[str]) -> jnp.ndarray:
         """[uncond; cond] embeddings, (2B, 77, hidden) — sd_utils:78-95."""
-        cond = self.clip.apply(self.clip_params, self.tokenize(prompts))
-        uncond = self.clip.apply(
+        cond = self._clip_apply()(self.clip_params, self.tokenize(prompts))
+        uncond = self._clip_apply()(
             self.clip_params,
             empty_prompt_ids(len(prompts), self.clip_cfg.max_length))
         return jnp.concatenate([uncond, cond], axis=0)
 
     def uncond_embeddings(self, batch: int = 1) -> jnp.ndarray:
         """encode_text(['']) — the only text the video denoise path uses."""
-        e = self.clip.apply(self.clip_params,
-                            empty_prompt_ids(batch, self.clip_cfg.max_length))
+        e = self._clip_apply()(
+            self.clip_params, empty_prompt_ids(batch, self.clip_cfg.max_length))
         return jnp.concatenate([e, e], axis=0)
 
     # -- latent loops -------------------------------------------------------

@@ -44,7 +44,9 @@ class VAECodec:
             factor = 2 ** (len(self.cfg.block_out_channels) - 1)
             dummy = min(frame_size, 8 * factor)
             x = jnp.zeros((1, dummy, dummy, 3), jnp.float32)
-            params = self.model.init(jax.random.PRNGKey(0), x)
+            # jit: one dispatch instead of per-op round trips (the dev TPU
+            # tunnel has ~50ms RPC latency; eager init costs minutes)
+            params = jax.jit(self.model.init)(jax.random.PRNGKey(0), x)
         self.params = params
 
     @classmethod

@@ -220,7 +220,20 @@ class Trainer:
 
     def resume(self, old_name: str):
         path = os.path.abspath(os.path.join(self.checkpoint_dir, old_name))
-        self.state = ckpt.restore_checkpoint(path, ckpt.abstract_like(self.state))
+        # reference --resume loads a torch state_dict of the same name
+        # (trainers/trainer.py:363) — accept those too, converting on the fly
+        # (fresh optimizer state, like the reference's load_state_dict).
+        pt = path if path.endswith(".pt") else path + ".pt"
+        if not os.path.isdir(path) and os.path.isfile(pt):
+            from sd_video_gen_tpu.diffusion.weights import (load_state_dict,
+                                                            convert_exhaustive)
+            mode = getattr(getattr(self.model, "cfg", None), "mode", "ar")
+            params = convert_exhaustive("transformer", load_state_dict(pt),
+                                        mode=mode)
+            self.state = self.state.replace(params=params)
+        else:
+            self.state = ckpt.restore_checkpoint(path,
+                                                 ckpt.abstract_like(self.state))
         self._shard_state()
 
     # -- loops --------------------------------------------------------------

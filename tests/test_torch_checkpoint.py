@@ -32,7 +32,7 @@ class _TorchRef(nn.Module):
     """The reference Transformer (models/transformer.py:9-67) with the
     per-timestep positional fix and dropout 0 (eval parity)."""
 
-    def __init__(self, latent=L, dim=D, mode="ar", k=3):
+    def __init__(self, latent=L, dim=D, mode="ar", k=3, ne=NE, nd=ND, ff=FF):
         super().__init__()
         self.dim = dim
         self.mode = mode
@@ -43,8 +43,8 @@ class _TorchRef(nn.Module):
         else:
             self.embedding = nn.Linear(latent, width)
         self.transformer = nn.Transformer(
-            d_model=width, nhead=H, num_encoder_layers=NE,
-            num_decoder_layers=ND, dim_feedforward=FF, dropout=0.0)
+            d_model=width, nhead=H, num_encoder_layers=ne,
+            num_decoder_layers=nd, dim_feedforward=ff, dropout=0.0)
         self.out = nn.Linear(width, latent)
         if mode == "future":
             self.learned_tgt = nn.Parameter(torch.randn(1, k, latent))
@@ -188,3 +188,32 @@ def test_predict_cli_autodetects_reference_pt(rng, tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_resume_from_reference_pt(tmp_path):
+    """--resume --old_name <run> with a torch .pt (trainers/trainer.py:363)."""
+    from sd_video_gen_tpu.config import Config
+    from sd_video_gen_tpu.train.trainer import Trainer
+    from sd_video_gen_tpu.parallel import make_mesh
+
+    cfg = Config(config_name="tiny", lr=1e-3, batch_size=2, frames_per_clip=5,
+                 frames_to_predict=2, frame_size=32, dim_model=32, num_heads=4,
+                 num_encoder_layers=1, num_decoder_layers=1, dropout_p=0.0,
+                 use_mse=True, use_gdl=False, use_contrastive=False)
+    tm = _TorchRef(latent=64, dim=32, ne=1, nd=1, ff=2048).eval()
+    ckdir = tmp_path / "ckpt"
+    ckdir.mkdir()
+    torch.save(tm.state_dict(), ckdir / "oldrun.pt")
+
+    mesh = make_mesh("data=1,model=1", devices=jax.devices()[:1])
+    t = Trainer(cfg, mode="ar", codec_kind="pixel", mesh=mesh,
+                checkpoint_dir=str(ckdir), use_wandb=False)
+    frames = np.zeros((2, 7, 32, 32, 3), np.uint8)
+    t.init_state(frames)
+    t.resume("oldrun")
+    emb = np.asarray(t.state.params["params"]["embedding"]["kernel"])
+    np.testing.assert_allclose(emb, tm.embedding.weight.detach().numpy().T,
+                               rtol=1e-6)
+    dn = np.asarray(t.state.params["params"]["dec_norm"]["scale"])
+    np.testing.assert_allclose(
+        dn, tm.transformer.decoder.norm.weight.detach().numpy(), rtol=1e-6)
