@@ -60,8 +60,9 @@ FRAME_SIZE = 64
 PRED_FRAMES = 16
 CONTEXT = 5
 
-BASELINES = {"pixel_ar16": 150.0, "vae_ar16": 115.0,
-             "vae_denoise_ar4": 0.9, "train_flagship": 10.0}
+BASELINES = {"pixel_ar16": 150.0, "pixel_ar16_kvcache": 150.0,
+             "vae_ar16": 115.0, "vae_denoise_ar4": 0.9,
+             "train_flagship": 10.0}
 
 
 def _flagship_model(latent_dim):
@@ -137,6 +138,45 @@ def scenario_pixel():
             lat = codec.encode_batch(carry, use_sos=True)
             preds = ar_rollout(apply_fn, params, lat, PRED_FRAMES,
                                window=CONTEXT)
+            out = codec.decode_latents(preds.reshape(-1, codec.latent_dim))
+            nxt = out.reshape(BATCH, PRED_FRAMES, FRAME_SIZE, FRAME_SIZE, 3)
+            return nxt[:, :CONTEXT], jnp.sum(out.astype(jnp.int32))
+        _, sums = jax.lax.scan(body, frames_u8, None, length=REPEATS)
+        return jnp.sum(sums)
+
+    best = _time_best(timed, params, jnp.asarray(frames))
+    return BATCH * PRED_FRAMES * REPEATS / best, "frames/sec/chip"
+
+
+def scenario_pixel_kvcache():
+    """Serving fast path: KV-cached incremental rollout (ops/cached_rollout)
+    instead of the reference-parity full re-forward per frame. O(P*T) decoder
+    work vs O(P*T^2) full stack; numerics contract in PARITY.md. Compared
+    against the same baseline as pixel_ar16 (the reference has no cached
+    path at all)."""
+    from sd_video_gen_tpu.codecs import PixelCodec
+    from sd_video_gen_tpu.models import FrameTransformer, FrameTransformerConfig
+    from sd_video_gen_tpu.ops.cached_rollout import cached_rollout
+
+    BATCH, REPEATS = 256, 4
+    codec = PixelCodec(FRAME_SIZE)
+    mc = FrameTransformerConfig(latent_dim=codec.latent_dim, dim_model=2048,
+                                num_heads=8, num_encoder_layers=4,
+                                num_decoder_layers=8, dropout_p=0.0,
+                                dtype=jnp.bfloat16)
+    model = FrameTransformer(mc)
+
+    frames = _context_frames(BATCH)
+    sample_lat = jax.jit(lambda f: codec.encode_batch(f, use_sos=True))(
+        jnp.asarray(frames))
+    params = _bf16(jax.jit(model.init)(jax.random.PRNGKey(0), sample_lat,
+                                       sample_lat[:, :-1]))
+
+    @jax.jit
+    def timed(params, frames_u8):
+        def body(carry, _):
+            lat = codec.encode_batch(carry, use_sos=True)
+            preds = cached_rollout(mc, params, lat, PRED_FRAMES)
             out = codec.decode_latents(preds.reshape(-1, codec.latent_dim))
             nxt = out.reshape(BATCH, PRED_FRAMES, FRAME_SIZE, FRAME_SIZE, 3)
             return nxt[:, :CONTEXT], jnp.sum(out.astype(jnp.int32))
@@ -274,7 +314,9 @@ def scenario_train():
     return STEPS / best, "steps/sec/chip"
 
 
-SCENARIOS = [("pixel_ar16", scenario_pixel), ("vae_ar16", scenario_vae),
+SCENARIOS = [("pixel_ar16", scenario_pixel),
+             ("pixel_ar16_kvcache", scenario_pixel_kvcache),
+             ("vae_ar16", scenario_vae),
              ("train_flagship", scenario_train),
              ("vae_denoise_ar4", scenario_denoise)]
 
