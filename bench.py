@@ -61,8 +61,8 @@ PRED_FRAMES = 16
 CONTEXT = 5
 
 BASELINES = {"pixel_ar16": 150.0, "pixel_ar16_kvcache": 150.0,
-             "vae_ar16": 115.0, "vae_denoise_ar4": 0.9,
-             "train_flagship": 10.0}
+             "pixel_ar16_kvcache_int8": 150.0, "vae_ar16": 115.0,
+             "vae_denoise_ar4": 0.9, "train_flagship": 10.0}
 
 
 def _flagship_model(latent_dim):
@@ -148,15 +148,18 @@ def scenario_pixel():
     return BATCH * PRED_FRAMES * REPEATS / best, "frames/sec/chip"
 
 
-def scenario_pixel_kvcache():
+def scenario_pixel_kvcache(int8: bool = False):
     """Serving fast path: KV-cached incremental rollout (ops/cached_rollout)
     instead of the reference-parity full re-forward per frame. O(P*T) decoder
     work vs O(P*T^2) full stack; numerics contract in PARITY.md. Compared
     against the same baseline as pixel_ar16 (the reference has no cached
-    path at all)."""
+    path at all). int8=True additionally quantizes every Dense (the
+    single-token decode is weight-bandwidth bound — halving weight bytes on
+    top of the 2x int8 MXU rate)."""
     from sd_video_gen_tpu.codecs import PixelCodec
     from sd_video_gen_tpu.models import FrameTransformer, FrameTransformerConfig
-    from sd_video_gen_tpu.ops.cached_rollout import cached_rollout
+    from sd_video_gen_tpu.ops.cached_rollout import (cached_rollout,
+                                                     quantize_rollout_params)
 
     BATCH, REPEATS = 256, 4
     codec = PixelCodec(FRAME_SIZE)
@@ -171,6 +174,8 @@ def scenario_pixel_kvcache():
         jnp.asarray(frames))
     params = _bf16(jax.jit(model.init)(jax.random.PRNGKey(0), sample_lat,
                                        sample_lat[:, :-1]))
+    if int8:
+        params = jax.jit(quantize_rollout_params)(params)
 
     @jax.jit
     def timed(params, frames_u8):
@@ -316,6 +321,8 @@ def scenario_train():
 
 SCENARIOS = [("pixel_ar16", scenario_pixel),
              ("pixel_ar16_kvcache", scenario_pixel_kvcache),
+             ("pixel_ar16_kvcache_int8",
+              lambda: scenario_pixel_kvcache(int8=True)),
              ("vae_ar16", scenario_vae),
              ("train_flagship", scenario_train),
              ("vae_denoise_ar4", scenario_denoise)]

@@ -35,6 +35,19 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 
 
+def auto_blocks(T: int, d: int) -> tuple[int, int]:
+    """Pick (block_q, block_k) for a (•, T, d) attention.
+
+    Small head dims leave the MXU contraction lanes mostly idle, so the win
+    comes from amortizing grid/step overhead with LARGE blocks: at
+    (8, 4096, 40) bf16, 1024x1024 blocks run 1.4x faster than 256x256
+    (measured, PARITY.md). VMEM bound: the (bq, bk) f32 logits tile plus
+    q/k/v/acc tiles must fit ~16MB, so wide heads fall back to 256."""
+    if d <= 128:
+        return min(1024, T), min(1024, T)
+    return min(DEFAULT_BLOCK_Q, T), min(DEFAULT_BLOCK_K, T)
+
+
 def reference_attention(q, k, v, scale=None):
     """(BH, T, d) einsum attention — the XLA fallback and test oracle."""
     d = q.shape[-1]
@@ -88,18 +101,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
                                              "interpret"))
 def flash_attention(q, k, v, scale: float | None = None,
-                    block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K,
+                    block_q: int | None = None,
+                    block_k: int | None = None,
                     interpret: bool = False):
     """(BH, T, d) non-causal attention with O(block) VMEM.
 
     Requires T % block sizes == 0 (spatial token counts 64/256/1024/4096 all
-    qualify); use ``attention`` for automatic fallback.
+    qualify); use ``attention`` for automatic fallback. Block sizes default
+    to ``auto_blocks`` (measured policy).
     """
     BH, T, d = q.shape
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    block_q = min(block_q, T)
-    block_k = min(block_k, T)
+    abq, abk = auto_blocks(T, d)
+    block_q = min(block_q or abq, T)
+    block_k = min(block_k or abk, T)
     n_k = T // block_k
     kernel = functools.partial(_flash_kernel, scale=scale, n_k=n_k)
     return pl.pallas_call(
@@ -131,21 +146,21 @@ def _on_tpu() -> bool:
 def should_use_flash(shape, dtype, on_tpu: bool,
                      min_flash_len: int = 4096) -> bool:
     """Evidence-based dispatch policy (measured on v5e-1,
-    tools/bench_attention.py, table in PARITY.md):
+    tools/bench_attention.py, table + variance notes in PARITY.md):
 
-      (8, 4096, 40) bf16: flash 2.24x faster than einsum (the 512px UNet
-          down_0 hot spot — XLA's bf16 softmax path materializes the 4096^2
-          probability matrix in f32 and goes HBM-bound);
-      (8, 4096, 40) f32 : flash 0.73x (XLA wins; both HBM-bound, XLA's
-          fusion has less scratch traffic);
-      (8, 1024, 80) and (1, 4096, 512), both dtypes: within +-7% (tie).
+      (8, 4096, 40): flash with auto (1024) blocks beats einsum 1.45x (f32)
+          / 1.25x (bf16) — the 512px UNet down_0 hot spot, where XLA
+          materializes the 4096^2 probability matrix;
+      (8, 1024, 80) and (1, 4096, 512): inside the ~+-10% run-to-run noise
+          of the tunneled dev chip — einsum stays (simpler, XLA-fused).
 
-    So flash only where it measurably pays: bf16, T >= 4096, head_dim <=
-    128 (the big-head VAE shape tied, and wide d inflates the f32
-    accumulator scratch)."""
+    So flash where it measurably pays: T >= 4096 with head_dim <= 128
+    (either dtype; wide-head shapes also exceed the VMEM logits-tile
+    budget at the big block sizes the win comes from)."""
     T, d = shape[1], shape[2]
-    return (on_tpu and dtype == jnp.bfloat16 and T >= min_flash_len
-            and d <= 128 and T % min(DEFAULT_BLOCK_Q, T) == 0)
+    bq, bk = auto_blocks(T, d)
+    return (on_tpu and T >= min_flash_len
+            and d <= 128 and T % bq == 0 and T % bk == 0)
 
 
 def attention(q, k, v, scale: float | None = None,

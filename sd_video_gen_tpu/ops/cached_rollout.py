@@ -43,6 +43,9 @@ _LN_EPS = 1e-5  # torch nn.Transformer default, as in models/transformer.py
 
 
 def _dense(p, x, dtype):
+    if "kernel" not in p:  # int8 serving tree (quantize_rollout_params)
+        from sd_video_gen_tpu.ops.quantized import qdense
+        return qdense(x, p["q"], p["bias"]).astype(dtype)
     return (x.astype(dtype) @ p["kernel"].astype(dtype)
             + p["bias"].astype(dtype))
 
@@ -223,3 +226,26 @@ def cached_rollout(cfg, params, context: jnp.ndarray,
 def jit_cached_rollout(cfg, pred_frames: int):
     f = partial(cached_rollout, cfg, pred_frames=pred_frames)
     return jax.jit(lambda params, context: f(params, context))
+
+
+def quantize_rollout_params(params: dict) -> dict:
+    """FrameTransformer params -> int8 serving tree for ``cached_rollout``.
+
+    Every Dense {kernel, bias} leaf-dict becomes {q: QTensor, bias}; norms
+    and other params pass through. The single-token decode steps re-read the
+    full weight set per frame and are weight-bandwidth bound — int8 halves
+    the bytes vs bf16 on top of the 2x int8 MXU rate (ops/quantized.py).
+    """
+    from sd_video_gen_tpu.ops.quantized import quantize_weight
+
+    def walk(node):
+        if isinstance(node, dict):
+            keys = set(node)
+            if keys == {"kernel", "bias"} and getattr(node["kernel"], "ndim",
+                                                      0) == 2:
+                return {"q": quantize_weight(node["kernel"]),
+                        "bias": node["bias"]}
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)

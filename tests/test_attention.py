@@ -53,13 +53,17 @@ def test_dispatch_fallback_on_cpu(rng):
 
 def test_dispatch_policy_matches_measurements():
     """Policy pinned to the v5e timing table in PARITY.md (kernel wins)."""
-    from sd_video_gen_tpu.ops.attention import should_use_flash
+    from sd_video_gen_tpu.ops.attention import should_use_flash, auto_blocks
     bf16, f32 = jnp.bfloat16, jnp.float32
-    assert should_use_flash((8, 4096, 40), bf16, True)        # 2.24x win
-    assert not should_use_flash((8, 4096, 40), f32, True)     # 0.73x loss
-    assert not should_use_flash((8, 1024, 80), bf16, True)    # 0.93x tie
-    assert not should_use_flash((1, 4096, 512), bf16, True)   # 0.96x tie
+    assert should_use_flash((8, 4096, 40), bf16, True)        # 1.25x win
+    assert should_use_flash((8, 4096, 40), f32, True)         # 1.45x win
+    assert not should_use_flash((8, 1024, 80), bf16, True)    # noise-level
+    assert not should_use_flash((1, 4096, 512), bf16, True)   # d too wide
     assert not should_use_flash((8, 4096, 40), bf16, False)   # not on TPU
+    # block policy: big tiles for narrow heads, VMEM-safe for wide ones
+    assert auto_blocks(4096, 40) == (1024, 1024)
+    assert auto_blocks(4096, 512) == (256, 256)
+    assert auto_blocks(256, 40) == (256, 256)
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",

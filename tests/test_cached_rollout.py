@@ -78,3 +78,20 @@ def test_max_len_guard(setup):
     cfg, model, params, context = setup
     with pytest.raises(AssertionError, match="max_len"):
         cached_rollout(cfg, params, context, pred_frames=61)
+
+
+def test_int8_quantized_cached_rollout(setup):
+    """int8 serving tree tracks the float cached rollout within quant noise."""
+    from sd_video_gen_tpu.ops.cached_rollout import quantize_rollout_params
+
+    cfg, model, params, context = setup
+    base = np.asarray(cached_rollout(cfg, params, context, pred_frames=4))
+    qp = quantize_rollout_params(params)
+    quant = np.asarray(cached_rollout(cfg, qp, context, pred_frames=4))
+    assert quant.shape == base.shape
+    # dynamic per-token int8: small relative drift, same signal
+    denom = np.maximum(np.abs(base), 1e-2)
+    rel = np.abs(quant - base) / denom
+    assert np.median(rel) < 0.08, float(np.median(rel))
+    corr = np.corrcoef(base.ravel(), quant.ravel())[0, 1]
+    assert corr > 0.99, corr
