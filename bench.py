@@ -1,11 +1,14 @@
 """Benchmark: the reference's headline pipelines on one TPU chip.
 
-Four scenarios, one JSON line each; the FINAL line is the primary metric
+Six scenarios, one JSON line each; the FINAL line is the primary metric
 (the north-star encode→predict→denoise→decode pipeline) and embeds the full
 scenario map so the driver's parsed record carries every number:
 
   pixel_ar16       — 64px 16-frame AR prediction with the pixel stand-in
                      codec (BASELINE.json config #1: ball without SD).
+  pixel_ar16_kvcache / _int8 — the same prediction served through the
+                     KV-cached incremental rollout (ops/cached_rollout),
+                     bf16 and int8-quantized weights.
   vae_ar16         — same pipeline with the real SD VAE codec
                      (models/vae.py, random init — identical FLOPs, memory
                      and layout to converted SD-v1.4 weights).
