@@ -185,10 +185,16 @@ def main(argv=None):
                         choices=["full", "cached"],
                         help="cached: KV-cached frozen-memory serving path "
                              "(ar mode; see PARITY.md for semantics)")
+    parser.add_argument("--int8", type=lambda s: s.lower() == "true",
+                        default=False,
+                        help="int8-quantize the transformer weights for the "
+                             "cached serving rollout (bench: +15%% over bf16)")
     args = parser.parse_args(argv)
     if args.rollout == "cached" and args.naive:
         parser.error("--rollout cached needs the transformer model "
                      "(incompatible with --naive)")
+    if args.int8 and args.rollout != "cached":
+        parser.error("--int8 requires --rollout cached")
     cfg = load_config(args.config, args.config_dir)
 
     vae_params = None
@@ -206,6 +212,10 @@ def main(argv=None):
         model = FrameTransformer(FrameTransformerConfig.from_config(
             cfg, mode="ar" if args.train_mode == "diff" else args.train_mode))
         params = load_model_params(cfg, args, model, codec, args.mode or "test")
+        if args.int8:
+            from sd_video_gen_tpu.ops.cached_rollout import (
+                quantize_rollout_params)
+            params = jax.jit(quantize_rollout_params)(params)
 
     refine_fn = None
     if args.denoise:
