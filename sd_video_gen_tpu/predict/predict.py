@@ -107,7 +107,8 @@ def show_frames(imgs: np.ndarray, is_pred: list[bool], fullscreen: bool):
 
 
 def make_predict_fn(model, codec, pred_frames: int, window: int,
-                    mode: str = "ar", refiner=None, rollout: str = "full"):
+                    mode: str = "ar", refiner=None, rollout: str = "full",
+                    int8: bool = False):
     """One jitted program: frames -> (context latents, predicted latents).
 
     ``mode='text'`` takes text embeddings as a third argument
@@ -123,10 +124,21 @@ def make_predict_fn(model, codec, pred_frames: int, window: int,
     """
     if rollout == "cached" and mode != "ar":
         raise ValueError("--rollout cached supports --train_mode ar only")
+    if int8 and mode not in ("ar", "diff"):
+        raise ValueError("--int8 supports --train_mode ar/diff only")
 
     apply_fn = model.apply
+    if int8 and rollout != "cached":
+        # full re-forward with int8 matmuls (ops/quantized.quantized_ar_apply;
+        # the cached path handles int8 transparently via its param tree)
+        from sd_video_gen_tpu.ops.quantized import quantized_ar_apply
+        H = model.cfg.num_heads
+
+        def apply_fn(params, src, tgt, tgt_mask=None, **kw):
+            return quantized_ar_apply(params, src, tgt, tgt_mask=tgt_mask,
+                                      num_heads=H)
     if mode == "diff":
-        base_apply = model.apply
+        base_apply = apply_fn
 
         def apply_fn(params, src, tgt, tgt_mask=None, **kw):
             out = base_apply(params, src, tgt, tgt_mask=tgt_mask, **kw)
@@ -187,14 +199,15 @@ def main(argv=None):
                              "(ar mode; see PARITY.md for semantics)")
     parser.add_argument("--int8", type=lambda s: s.lower() == "true",
                         default=False,
-                        help="int8-quantize the transformer weights for the "
-                             "cached serving rollout (bench: +15%% over bf16)")
+                        help="int8-quantize the transformer weights for "
+                             "serving (full or cached rollout; ar/diff modes; "
+                             "bench: 91.3K vs 80.7K frames/s cached)")
     args = parser.parse_args(argv)
     if args.rollout == "cached" and args.naive:
         parser.error("--rollout cached needs the transformer model "
                      "(incompatible with --naive)")
-    if args.int8 and args.rollout != "cached":
-        parser.error("--int8 requires --rollout cached")
+    if args.int8 and args.train_mode not in ("ar", "diff"):
+        parser.error("--int8 supports --train_mode ar/diff only")
     cfg = load_config(args.config, args.config_dir)
 
     vae_params = None
@@ -213,9 +226,14 @@ def main(argv=None):
             cfg, mode="ar" if args.train_mode == "diff" else args.train_mode))
         params = load_model_params(cfg, args, model, codec, args.mode or "test")
         if args.int8:
-            from sd_video_gen_tpu.ops.cached_rollout import (
-                quantize_rollout_params)
-            params = jax.jit(quantize_rollout_params)(params)
+            if args.rollout == "cached":
+                from sd_video_gen_tpu.ops.cached_rollout import (
+                    quantize_rollout_params)
+                params = jax.jit(quantize_rollout_params)(params)
+            else:
+                from sd_video_gen_tpu.ops.quantized import (
+                    quantize_frame_transformer)
+                params = jax.jit(quantize_frame_transformer)(params)
 
     refine_fn = None
     if args.denoise:
@@ -235,7 +253,8 @@ def main(argv=None):
     predict = make_predict_fn(model, codec, args.pred_frames,
                               window=cfg.frames_per_clip,
                               mode=args.train_mode, refiner=refine_fn,
-                              rollout=args.rollout)
+                              rollout=args.rollout,
+                              int8=args.int8 and not args.naive)
 
     embedder = None
     if args.train_mode == "text":

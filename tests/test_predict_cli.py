@@ -91,3 +91,27 @@ def test_bf16_training_step(rng):
         assert np.isfinite(float(comps["total"]))
         l0 = l0 or float(comps["total"])
     assert float(comps["total"]) < l0
+
+
+def test_int8_full_rollout_predict(rng):
+    """--int8 with the full re-forward rollout (quantized_ar_apply path)."""
+    from sd_video_gen_tpu.ops.quantized import quantize_frame_transformer
+    from sd_video_gen_tpu.predict.predict import make_predict_fn
+
+    codec, frames = _codec_and_frames(rng)
+    mc = FrameTransformerConfig(latent_dim=codec.latent_dim, dim_model=32,
+                                num_heads=4, num_encoder_layers=1,
+                                num_decoder_layers=1, dropout_p=0.0)
+    model = FrameTransformer(mc)
+    lat = codec.encode_batch(frames, use_sos=True)
+    params = model.init(jax.random.PRNGKey(0), lat, lat[:, :-1])
+
+    base = make_predict_fn(model, codec, pred_frames=3, window=5)
+    _, preds_f32 = base(params, frames)
+
+    qp = quantize_frame_transformer(params)
+    q = make_predict_fn(model, codec, pred_frames=3, window=5, int8=True)
+    _, preds_q = q(qp, frames)
+    assert preds_q.shape == preds_f32.shape
+    a, b = np.asarray(preds_q).ravel(), np.asarray(preds_f32).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.99
