@@ -200,11 +200,14 @@ def scenario_vae():
     """Same 16-frame AR pipeline with the real SD VAE codec. Random-init
     weights (none shipped in this env) are FLOP/layout-identical to
     converted SD-v1.4. Decode runs per-frame-step via lax.map to bound the
-    decoder's 64x-upsampled activations."""
+    decoder's 64x-upsampled activations. Batch knee is flat (B=32: 3,100 /
+    64: 3,187 / 128: 3,211 f/s on v5e) — the VAE convs, not batch
+    occupancy, bound this scenario — so the default stays at 32."""
     from sd_video_gen_tpu.diffusion.vae_codec import VAECodec
     from sd_video_gen_tpu.ops.rollout import ar_rollout
 
-    BATCH, REPEATS = 32, 2
+    BATCH = int(os.environ.get("SDVG_BENCH_VAE_BATCH", 32))
+    REPEATS = 2
     codec = VAECodec(FRAME_SIZE, dtype=jnp.bfloat16)
     model = _flagship_model(codec.latent_dim)
     vp = _bf16(codec.params)
