@@ -208,6 +208,9 @@ def main(argv=None):
                      "(incompatible with --naive)")
     if args.int8 and args.train_mode not in ("ar", "diff"):
         parser.error("--int8 supports --train_mode ar/diff only")
+    if args.int8 and args.naive:
+        parser.error("--int8 quantizes the transformer "
+                     "(incompatible with --naive)")
     cfg = load_config(args.config, args.config_dir)
 
     vae_params = None
