@@ -148,3 +148,50 @@ def test_static_gs0_skips_cfg_pair_bitwise(pipe):
                          guidance_scale=jnp.float32(0.0),
                          start_step=8, num_inference_steps=10, noise_rng=key)
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(pair))
+
+
+def test_rollout_with_refine_hook_composition(pipe, rng):
+    """The north-star composition (bench vae_denoise): encode -> ar_rollout
+    with the per-frame partial-denoise hook -> decode, as ONE jitted fn.
+    Checks the hook actually fires per frame (refined != unrefined), the
+    step index threads (per-frame noise keys -> frames refined differently
+    than a fixed key would), and the cached rollout accepts the same hook."""
+    from sd_video_gen_tpu.diffusion.vae_codec import VAECodec
+    from sd_video_gen_tpu.models import FrameTransformer, FrameTransformerConfig
+    from sd_video_gen_tpu.ops.rollout import ar_rollout
+    from sd_video_gen_tpu.ops.cached_rollout import cached_rollout
+
+    cfg = Config(config_name="t", frame_size=32)
+    refine_apply, rp = make_denoise_refiner(cfg, start_step=2, pipeline=pipe,
+                                            num_inference_steps=3, hi_res=32)
+    codec = VAECodec(32, params=pipe.vae.params, cfg=pipe.vae.cfg)
+    mc = FrameTransformerConfig(latent_dim=codec.latent_dim, dim_model=32,
+                                num_heads=4, num_encoder_layers=1,
+                                num_decoder_layers=1, dropout_p=0.0)
+    model = FrameTransformer(mc)
+    frames = jnp.asarray(rng.integers(0, 255, (1, 3, 32, 32, 3)), jnp.uint8)
+
+    @jax.jit
+    def run(params, rp, frames):
+        lat = codec.encode_batch(frames, use_sos=True, params=rp["vae"])
+        refined = ar_rollout(
+            model.apply, params, lat, 2, window=3,
+            refine_fn=lambda z, i: refine_apply(rp, z, i))
+        plain = ar_rollout(model.apply, params, lat, 2, window=3)
+        return refined, plain
+
+    lat0 = codec.encode_batch(frames, use_sos=True)
+    params = model.init(jax.random.PRNGKey(0), lat0, lat0[:, :-1])
+    refined, plain = run(params, rp, frames)
+    assert refined.shape == plain.shape == (1, 2, codec.latent_dim)
+    assert np.isfinite(np.asarray(refined)).all()
+    # the hook fired (UNet steps changed every frame)
+    for t in range(2):
+        assert np.abs(np.asarray(refined[:, t] - plain[:, t])).max() > 1e-4
+
+    cached = cached_rollout(mc, params,
+                            codec.encode_batch(frames, use_sos=True),
+                            2, refine_fn=lambda z, i: refine_apply(rp, z, i))
+    # frame 1 contract holds WITH the refine hook attached
+    np.testing.assert_allclose(np.asarray(cached[:, 0]),
+                               np.asarray(refined[:, 0]), rtol=2e-4, atol=2e-4)
