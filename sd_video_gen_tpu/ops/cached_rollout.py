@@ -7,7 +7,7 @@ classic seq2seq incremental decode instead:
 
   - the encoder runs ONCE on [SOS + context] and its memory (and each
     decoder layer's cross-attention K/V of it) is frozen;
-  - the decoder prefNills over the context with the causal mask, recording
+  - the decoder prefills over the context with the causal mask, recording
     each layer's self-attention K/V;
   - each new frame is ONE decoder step: fused-QKV of a single token,
     K/V appended into preallocated caches (lax.scan carry,
