@@ -141,10 +141,22 @@ def frechet_distance(x: np.ndarray, y: np.ndarray) -> float:
 
 
 def compute_fvd(stats_real: FeatureStats, stats_gen: FeatureStats) -> float:
-    """Streaming-stats Fréchet via scipy sqrtm (evaluation/fvd.py:80-92)."""
+    """Streaming-stats Fréchet via scipy sqrtm (evaluation/fvd.py:80-92).
+
+    Pure host numpy from the raw accumulators — no eager device ops (each
+    eager op costs a remote-compile round trip on the dev tunnel; this
+    final reduction is host-sized anyway)."""
     import scipy.linalg
-    mu_r, cov_r = (np.asarray(a, np.float64) for a in stats_real.mean_cov())
-    mu_g, cov_g = (np.asarray(a, np.float64) for a in stats_gen.mean_cov())
+
+    def mean_cov64(st):
+        n = float(np.asarray(st.n))
+        s = np.asarray(st.raw_sum, np.float64)
+        p = np.asarray(st.raw_prod, np.float64)
+        mu = s / n
+        return mu, p / n - np.outer(mu, mu)
+
+    mu_r, cov_r = mean_cov64(stats_real)
+    mu_g, cov_g = mean_cov64(stats_gen)
     m = np.square(mu_g - mu_r).sum()
     s, _ = scipy.linalg.sqrtm(cov_g @ cov_r, disp=False)
     return float(np.real(m + np.trace(cov_g + cov_r - 2 * s)))

@@ -53,15 +53,23 @@ def load_i3d(weights_path: str | None):
         shapes = jax.eval_shape(i3d.init, jax.random.PRNGKey(0), x)
         flat = jax.tree_util.tree_flatten_with_path(shapes)[0]
         treedef = jax.tree_util.tree_structure(shapes)
-        keys = jax.random.split(jax.random.PRNGKey(0), len(flat))
-        leaves = []
-        for k, (path, l) in zip(keys, flat):
-            name = str(path[-1])
-            if "bn_var" in name or "bn_scale" in name:
-                leaves.append(jnp.ones(l.shape, l.dtype))  # variance must be >0
-            else:
-                leaves.append(jax.random.normal(k, l.shape, l.dtype) * 0.05)
-        params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+        # one jitted dispatch: materializing ~200 leaves eagerly costs a
+        # remote-compile round trip per op on the dev tunnel
+        @jax.jit
+        def materialize(key):
+            keys = jax.random.split(key, len(flat))
+            leaves = []
+            for k, (path, l) in zip(keys, flat):
+                name = str(path[-1])
+                if "bn_var" in name or "bn_scale" in name:
+                    leaves.append(jnp.ones(l.shape, l.dtype))  # var must be >0
+                else:
+                    leaves.append(jax.random.normal(k, l.shape, l.dtype) * 0.05)
+            return leaves
+
+        params = jax.tree_util.tree_unflatten(treedef,
+                                              materialize(jax.random.PRNGKey(0)))
     return i3d, params
 
 

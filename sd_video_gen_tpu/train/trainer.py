@@ -207,8 +207,13 @@ class Trainer:
     # -- state management ---------------------------------------------------
     def init_state(self, sample_frames, seed: int = 0,
                    sample_text_embeds=None):
-        self.state = self._init_fn(jax.random.PRNGKey(seed),
-                                   sample_frames, sample_text_embeds)
+        # jit: a single compiled dispatch. Eager init dispatches every op
+        # separately — through the dev tunnel's remote-compile path that is
+        # minutes-to-hours for a few hundred ops (observed hanging the
+        # trainer_fvd drive inside model.init).
+        self.state = jax.jit(self._init_fn)(jax.random.PRNGKey(seed),
+                                            jnp.asarray(sample_frames),
+                                            sample_text_embeds)
         self._shard_state()
         n = sum(p.size for p in jax.tree.leaves(self.state.params))
         self.logger.log({"event": "init", "n_params": n})
@@ -321,15 +326,26 @@ class Trainer:
             f_gen = i3d.apply(i3d_p, preprocess_videos(pad_time(dec)))
             f_real = i3d.apply(i3d_p,
                                preprocess_videos(pad_time(frames[:, -k:])))
-            return f_real, f_gen
+            # fold the streaming-stats contributions into the SAME jit:
+            # eager FeatureStats.append per batch costs a remote-compile
+            # round trip per op on the dev tunnel
+            return (f_real.sum(0), f_real.T @ f_real,
+                    f_gen.sum(0), f_gen.T @ f_gen)
 
-        st_r, st_g = FeatureStats(400), FeatureStats(400)
+        import numpy as np
+        n = 0
+        acc = [np.zeros(400), np.zeros((400, 400)),
+               np.zeros(400), np.zeros((400, 400))]
         for bi, (_, frames) in enumerate(loader):
             if bi >= max_batches:
                 break
-            f_real, f_gen = fvd_batch(self.state.params, codec_params,
-                                      i3d_params, self._put_batch(frames))
-            st_r, st_g = st_r.append(f_real), st_g.append(f_gen)
+            out = fvd_batch(self.state.params, codec_params,
+                            i3d_params, self._put_batch(frames))
+            for a, o in zip(acc, out):
+                a += np.asarray(o, np.float64)
+            n += len(frames)
+        st_r = FeatureStats(400, np.float64(n), acc[0], acc[1])
+        st_g = FeatureStats(400, np.float64(n), acc[2], acc[3])
         return compute_fvd(st_r, st_g)
 
     def fit(self, train_loader, val_loader, epochs: int, seed: int = 0,
