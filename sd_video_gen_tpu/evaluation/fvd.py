@@ -111,9 +111,15 @@ class FeatureStats:
 # -- Fréchet distance -------------------------------------------------------
 
 def _symmetric_sqrt(mat: np.ndarray) -> np.ndarray:
-    """PSD matrix sqrt via SVD (fvd_2.py:22-25 lineage)."""
-    u, s, vT = np.linalg.svd(np.asarray(mat, np.float64))
-    return (u * np.sqrt(np.maximum(s, 0))) @ vT
+    """PSD matrix sqrt (fvd_2.py:22-25 lineage, via eigh).
+
+    eigh on the symmetrized matrix instead of SVD: identical for PSD
+    inputs, but LAPACK's iterative SVD can fail to converge on the
+    near-singular covariance products small-sample FVD produces
+    (observed with 12 clips x 400 dims)."""
+    m = np.asarray(mat, np.float64)
+    w, v = np.linalg.eigh((m + m.T) / 2)
+    return (v * np.sqrt(np.maximum(w, 0))) @ v.T
 
 
 def trace_sqrt_product(c1: np.ndarray, c2: np.ndarray) -> float:
@@ -145,9 +151,12 @@ def compute_fvd(stats_real: FeatureStats, stats_gen: FeatureStats) -> float:
 
     Pure host numpy from the raw accumulators — no eager device ops (each
     eager op costs a remote-compile round trip on the dev tunnel; this
-    final reduction is host-sized anyway)."""
-    import scipy.linalg
-
+    final reduction is host-sized anyway). tr√(C_g·C_r) is computed with
+    the SVD-based symmetric-product trick instead of scipy's Schur sqrtm:
+    with few samples the covariance product is rank-deficient and
+    non-normal, where Schur iteration is slow and ill-behaved (observed
+    minutes-long on a 400x400 from 12 clips); for PSD factors the two are
+    mathematically equal."""
     def mean_cov64(st):
         n = float(np.asarray(st.n))
         s = np.asarray(st.raw_sum, np.float64)
@@ -158,5 +167,5 @@ def compute_fvd(stats_real: FeatureStats, stats_gen: FeatureStats) -> float:
     mu_r, cov_r = mean_cov64(stats_real)
     mu_g, cov_g = mean_cov64(stats_gen)
     m = np.square(mu_g - mu_r).sum()
-    s, _ = scipy.linalg.sqrtm(cov_g @ cov_r, disp=False)
-    return float(np.real(m + np.trace(cov_g + cov_r - 2 * s)))
+    return float(m + np.trace(cov_g) + np.trace(cov_r)
+                 - 2 * trace_sqrt_product(cov_g, cov_r))

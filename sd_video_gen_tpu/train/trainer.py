@@ -294,14 +294,14 @@ class Trainer:
                                                      preprocess_videos)
         k = self.cfg.frames_to_predict
 
-        def pad_time(v, min_t: int = 5):
-            # Protocol parity: the reference streams frames_to_predict-frame
-            # clips straight into the detector (trainer_fvd.py:480-490
-            # trans224 reshapes to (-1, frames_to_predict)); our explicit I3D
-            # needs T >= 5 (two stride-2 temporal pools + a kernel-2 VALID
-            # pool), so the flagship k=5 passes through UNPADDED. Only k < 5
-            # tiles the clip (identically for real and generated) —
-            # documented in PARITY.md.
+        def pad_time(v, min_t: int = 9):
+            # The I3D graph needs T >= 9: its temporal pool chain collapses
+            # shorter clips to zero frames and every feature becomes NaN
+            # (measured: T=5..8 -> NaN, T=9 -> finite — an earlier min_t=5
+            # assumption silently produced FVD=nan). 9 also matches the
+            # reference's 9-frame validation-clip protocol
+            # (trainers/trainer_fvd.py:487-490). Clips shorter than 9 are
+            # tiled identically for real and generated — PARITY.md.
             if v.shape[1] >= min_t:
                 return v
             reps = -(-min_t // v.shape[1])

@@ -137,3 +137,27 @@ def test_two_fvd_lineages_agree(rng):
     stream_fd = compute_fvd(sx, sy)
     # population vs Bessel cov differ by O(1/N)
     np.testing.assert_allclose(stream_fd, batch_fd, rtol=0.02)
+
+
+def test_i3d_temporal_minimum_is_nine():
+    """T=9 is the REAL temporal floor of the I3D graph: shorter clips
+    collapse to zero frames in the temporal pool chain and every feature
+    goes NaN (an earlier min_t=5 assumption silently produced FVD=nan in
+    the training hook). The hook tiles to 9 — this pins both facts."""
+    from sd_video_gen_tpu.evaluation.predict_fvd import load_i3d
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("ignore")
+        i3d, ip = load_i3d(None)
+    rng = np.random.default_rng(0)
+    x5 = jnp.asarray(rng.integers(0, 255, (1, 5, 32, 32, 3)), jnp.uint8)
+    f5 = np.asarray(i3d.apply(ip, preprocess_videos(x5)))
+    assert not np.isfinite(f5).all()  # documents WHY the hook tiles
+
+    # the hook's tiling formula on a k=2 clip
+    v = jnp.asarray(rng.integers(0, 255, (1, 2, 32, 32, 3)), jnp.uint8)
+    reps = -(-9 // v.shape[1])
+    v9 = jnp.tile(v, (1, reps, 1, 1, 1))[:, :9]
+    f9 = np.asarray(i3d.apply(ip, preprocess_videos(v9)))
+    assert np.isfinite(f9).all()
