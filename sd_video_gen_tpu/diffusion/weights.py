@@ -338,6 +338,14 @@ def convert_frame_transformer(sd: dict, mode: str = "ar") -> dict:
     for k in list(sd):  # positional buffer: bookkeeping, not a param
         if "positional_encoder" in k:
             _ = sd[k]
+        # text mode: the reference registers the frozen SentenceTransformer
+        # as a submodule (models/transformer_text.py `self.sent_transformer`),
+        # so its state_dict carries hundreds of sent_transformer.* weights.
+        # Those are the frozen MiniLM text encoder — replaced here by the
+        # exported embedding table (models/text_embed.py) — so they are
+        # deliberately consumed and dropped.
+        elif mode == "text" and k.startswith("sent_transformer."):
+            _ = sd[k]
 
     def fused_attn(p):
         w = np.asarray(sd[p + ".in_proj_weight"])

@@ -124,6 +124,10 @@ def main(argv=None):
                         choices=["streaming", "batch"])
     parser.add_argument("--fvd_every", type=int, default=8)
     parser.add_argument("--i3d_weights", type=str, default=None)
+    parser.add_argument("--reference_pe", action="store_true",
+                        help="serve with the reference's per-batch-index "
+                             "positional encoding (compat for converted "
+                             "reference checkpoints; see predict CLI)")
     args = parser.parse_args(argv)
     if args.pred_frames <= 1:
         args.pred_frames = 4
@@ -142,7 +146,8 @@ def main(argv=None):
                             jnp.zeros((1, 2, codec.latent_dim)))
     else:
         model = FrameTransformer(FrameTransformerConfig.from_config(
-            cfg, mode="ar" if args.train_mode == "diff" else args.train_mode))
+            cfg, mode="ar" if args.train_mode == "diff" else args.train_mode,
+            pe_mode="reference_batch" if args.reference_pe else "timestep"))
         params = load_model_params(cfg, args, model, codec, args.mode or "test")
 
     refiner = None

@@ -46,6 +46,12 @@ class FrameTransformerConfig:
     mode: str = "ar"             # ar | future | learned_tgt | text
     frames_to_predict: int = 5   # used by future/learned_tgt modes
     text_embed_dim: int = 384    # MiniLM-L6-v2 embedding width (text mode)
+    pe_mode: str = "timestep"    # 'timestep' (correct) | 'reference_batch'
+    #   'reference_batch' reproduces the reference's PositionalEncoding bug
+    #   (models/transformer.py:55-61: the seq-first PE buffer indexed by the
+    #   BATCH axis adds PE(b) to every timestep of item b) so converted
+    #   reference checkpoints serve the exact forward they were trained
+    #   under. CLI: --reference_pe.
     dtype: jnp.dtype = jnp.float32          # compute dtype (bf16 on TPU)
     param_dtype: jnp.dtype = jnp.float32
 
@@ -231,10 +237,16 @@ class FrameTransformer(nn.Module):
             src = embed(src.astype(c.dtype)) * scale
             tgt = embed(tgt.astype(c.dtype)) * scale
 
-        src = drop(src + pos_table[None, : src.shape[1]].astype(c.dtype),
-                   deterministic=deterministic)
-        tgt = drop(tgt + pos_table[None, : tgt.shape[1]].astype(c.dtype),
-                   deterministic=deterministic)
+        if c.pe_mode == "reference_batch":
+            # reference bug reproduction: PE(batch_index) added to every
+            # timestep of that item (constant over time) — see config note.
+            pe_src = pos_table[: src.shape[0]][:, None, :]
+            pe_tgt = pos_table[: tgt.shape[0]][:, None, :]
+        else:
+            pe_src = pos_table[None, : src.shape[1]]
+            pe_tgt = pos_table[None, : tgt.shape[1]]
+        src = drop(src + pe_src.astype(c.dtype), deterministic=deterministic)
+        tgt = drop(tgt + pe_tgt.astype(c.dtype), deterministic=deterministic)
 
         # torch nn.Transformer applies a FINAL LayerNorm after each stack
         # (encoder.norm / decoder.norm) — required for checkpoint parity.

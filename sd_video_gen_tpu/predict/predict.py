@@ -49,10 +49,26 @@ def load_model_params(cfg, args, model, codec, mode_flag: str):
         torch_path = path + ".pt"
     if torch_path is not None:
         from sd_video_gen_tpu.diffusion.weights import (load_state_dict,
-                                                        convert_exhaustive)
-        mode = getattr(getattr(model, "cfg", None), "mode", "ar")
-        return convert_exhaustive("transformer", load_state_dict(torch_path),
-                                  mode=mode)
+                                                        convert_exhaustive,
+                                                        assert_matches_model)
+        mcfg = getattr(model, "cfg", None)
+        mode = getattr(mcfg, "mode", "ar")
+        params = convert_exhaustive("transformer", load_state_dict(torch_path),
+                                    mode=mode)
+        # Validate the converted tree against THIS model's structure: if the
+        # --config disagrees with the .pt (e.g. fewer layers), flax apply
+        # would silently ignore the extra converted layers and serve a
+        # partially-loaded model. eval_shape costs no FLOPs.
+        if mcfg is not None:
+            dummy = jnp.zeros((1, 4, mcfg.latent_dim), jnp.float32)
+            text_dummy = (jnp.zeros((1, mcfg.text_embed_dim), jnp.float32)
+                          if mcfg.mode == "text" else None)
+            abstract = jax.eval_shape(
+                lambda s: model.init(jax.random.PRNGKey(0), s, s[:, :-1],
+                                     tgt_mask=causal_mask(3),
+                                     text_embeds=text_dummy), dummy)
+            assert_matches_model(params, abstract)
+        return params
     # Build the abstract TrainState matching what the trainer saved —
     # everything under eval_shape so no real VAE encode runs at CLI startup.
     sample = jnp.zeros((1, cfg.frames_per_clip, cfg.frame_size,
@@ -202,7 +218,15 @@ def main(argv=None):
                         help="int8-quantize the transformer weights for "
                              "serving (full or cached rollout; ar/diff modes; "
                              "bench: 91.3K vs 80.7K frames/s cached)")
+    parser.add_argument("--reference_pe", action="store_true",
+                        help="serve with the reference's (buggy) per-batch-"
+                             "index positional encoding so converted "
+                             "reference checkpoints reproduce their trained "
+                             "forward exactly (PARITY.md 'Known deviations')")
     args = parser.parse_args(argv)
+    if args.reference_pe and (args.int8 or args.rollout == "cached"):
+        parser.error("--reference_pe is the full-forward compat path "
+                     "(incompatible with --int8 / --rollout cached)")
     if args.rollout == "cached" and args.naive:
         parser.error("--rollout cached needs the transformer model "
                      "(incompatible with --naive)")
@@ -226,7 +250,8 @@ def main(argv=None):
                             jnp.zeros((1, 2, codec.latent_dim)))
     else:
         model = FrameTransformer(FrameTransformerConfig.from_config(
-            cfg, mode="ar" if args.train_mode == "diff" else args.train_mode))
+            cfg, mode="ar" if args.train_mode == "diff" else args.train_mode,
+            pe_mode="reference_batch" if args.reference_pe else "timestep"))
         params = load_model_params(cfg, args, model, codec, args.mode or "test")
         if args.int8:
             if args.rollout == "cached":

@@ -9,6 +9,7 @@ timestep on both sides (the reference's per-BATCH-index application is a
 documented deviation — see PARITY.md).
 """
 
+import dataclasses
 import math
 
 import numpy as np
@@ -32,10 +33,12 @@ class _TorchRef(nn.Module):
     """The reference Transformer (models/transformer.py:9-67) with the
     per-timestep positional fix and dropout 0 (eval parity)."""
 
-    def __init__(self, latent=L, dim=D, mode="ar", k=3, ne=NE, nd=ND, ff=FF):
+    def __init__(self, latent=L, dim=D, mode="ar", k=3, ne=NE, nd=ND, ff=FF,
+                 pe="timestep"):
         super().__init__()
         self.dim = dim
         self.mode = mode
+        self.pe = pe
         width = dim + 384 if mode == "text" else dim
         self.width = width
         if mode == "text":
@@ -69,8 +72,15 @@ class _TorchRef(nn.Module):
         else:
             src = self.embedding(src) * math.sqrt(self.width)
             tgt = self.embedding(tgt) * math.sqrt(self.width)
-        src = src + self.positional_encoder_pos[: src.shape[1]]
-        tgt = tgt + self.positional_encoder_pos[: tgt.shape[1]]
+        if self.pe == "reference_batch":
+            # the reference's actual behavior: the seq-first PE buffer
+            # indexed by the BATCH axis (models/transformer.py:55-61 fed
+            # batch-first tensors) — PE(b) added to every timestep of item b
+            src = src + self.positional_encoder_pos[: src.shape[0]].unsqueeze(1)
+            tgt = tgt + self.positional_encoder_pos[: tgt.shape[0]].unsqueeze(1)
+        else:
+            src = src + self.positional_encoder_pos[: src.shape[1]]
+            tgt = tgt + self.positional_encoder_pos[: tgt.shape[1]]
         y = self.transformer(src.permute(1, 0, 2), tgt.permute(1, 0, 2),
                              tgt_mask=tgt_mask)
         return self.out(y).permute(1, 0, 2)
@@ -164,6 +174,56 @@ def test_text_mode_parity(rng):
              text=torch.from_numpy(emb))
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+@torch.no_grad()
+def test_reference_pe_compat_full_forward_parity(rng):
+    """pe_mode='reference_batch' (--reference_pe) reproduces the reference's
+    ACTUAL forward — per-batch-index positional encoding — so converted
+    checkpoints serve the signal they were trained with."""
+    tm = _TorchRef(pe="reference_batch").eval()
+    params = convert_exhaustive("transformer", _state_dict(tm))
+    model = FrameTransformer(
+        dataclasses.replace(_cfg(), pe_mode="reference_batch"))
+    src = rng.standard_normal((3, 5, L)).astype(np.float32)
+    tgt = rng.standard_normal((3, 4, L)).astype(np.float32)
+    ours = model.apply(params, jnp.asarray(src), jnp.asarray(tgt),
+                       tgt_mask=causal_mask(4))
+    mask = torch.from_numpy(np.asarray(causal_mask(4)))
+    ref = tm(torch.from_numpy(src), torch.from_numpy(tgt), tgt_mask=mask)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_text_mode_skips_sent_transformer_keys(rng):
+    """Real reference text checkpoints register the frozen SentenceTransformer
+    as a submodule (models/transformer_text.py), so their state_dicts carry
+    sent_transformer.* keys. convert_exhaustive must consume (drop) them in
+    text mode — and stay strict about them everywhere else."""
+    tm = _TorchRef(mode="text").eval()
+    sd = _state_dict(tm)
+    sd.update({
+        "sent_transformer.0.auto_model.embeddings.word_embeddings.weight":
+            rng.standard_normal((100, 16)).astype(np.float32),
+        "sent_transformer.0.auto_model.encoder.layer.0.attention.self"
+        ".query.weight": rng.standard_normal((16, 16)).astype(np.float32),
+        "sent_transformer.1.linear.bias":
+            rng.standard_normal((16,)).astype(np.float32),
+    })
+    params = convert_exhaustive("transformer", sd, mode="text")
+    model = FrameTransformer(_cfg(mode="text"))
+    abstract = jax.eval_shape(
+        lambda s: model.init(jax.random.PRNGKey(0), s, s,
+                             text_embeds=jnp.zeros((1, 384))),
+        jnp.zeros((1, 4, L)))
+    assert_matches_model(params, abstract)
+
+    # non-text modes stay strict: unexpected keys still raise
+    tm_ar = _TorchRef().eval()
+    sd_ar = _state_dict(tm_ar)
+    sd_ar["sent_transformer.1.linear.bias"] = np.zeros(4, np.float32)
+    with pytest.raises(ValueError, match="never.*consumed|consumed"):
+        convert_exhaustive("transformer", sd_ar)
 
 
 def test_predict_cli_autodetects_reference_pt(rng, tmp_path):
