@@ -29,7 +29,9 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, epoch_ratio: float = 1.0,
                  shuffle: bool = True, drop_last: bool = True,
-                 prefetch: int = 2, seed: int = 0):
+                 prefetch: int = 2, seed: int = 0,
+                 process_shard: tuple[int, int] | None = None,
+                 shard_multiple: int | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.epoch_ratio = epoch_ratio
@@ -37,6 +39,26 @@ class BatchLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
+        # multi-host: (process_index, process_count). Every process derives
+        # the IDENTICAL global epoch order from the shared seed, then reads
+        # and decodes ONLY its contiguous slice of each global batch — host
+        # IO stays local while parallel/multihost.global_batch_from_local
+        # reassembles the full batch on the global mesh.
+        if process_shard is not None:
+            pid, pcount = process_shard
+            if batch_size % pcount:
+                raise ValueError(
+                    f"global batch_size {batch_size} must divide evenly "
+                    f"across {pcount} processes")
+            if not (0 <= pid < pcount):
+                raise ValueError(f"process_shard index {pid} out of range")
+        self.process_shard = process_shard
+        # ragged (short) batches are trimmed to a multiple of this so the
+        # global batch stays shardable over the whole device mesh (the
+        # trainer passes jax.device_count()); defaults to pcount.
+        self.shard_multiple = (shard_multiple if shard_multiple is not None
+                               else (process_shard[1] if process_shard
+                                     else None))
 
     def _epoch_order(self) -> np.ndarray:
         n = len(self.dataset)
@@ -73,6 +95,20 @@ class BatchLoader:
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(nb)]
         batches = [b for b in batches if len(b)]
+        if self.process_shard is not None:
+            # each process takes its contiguous slice of every global batch;
+            # a ragged short batch (dataset smaller than one batch) is
+            # trimmed to the largest multiple of pcount so all processes
+            # stay consistent instead of silently yielding an empty epoch.
+            pid, pcount = self.process_shard
+            mult = max(self.shard_multiple, pcount)
+            out = []
+            for b in batches:
+                m = (len(b) // mult) * mult  # mesh-shardable size
+                local = m // pcount
+                if local:
+                    out.append(b[pid * local:(pid + 1) * local])
+            batches = out
 
         if self.prefetch <= 0:
             for b in batches:

@@ -54,6 +54,20 @@ def default_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
     import warnings
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    if jax.process_count() > 1:
+        # multi-host: subsetting devices can strand a process with zero
+        # addressable mesh devices (its collectives would deadlock / its
+        # global arrays become unconstructible) — the mesh must span every
+        # process, so the global batch must divide the device count.
+        if batch_size % n:
+            raise ValueError(
+                f"multi-host run: global batch_size {batch_size} must be "
+                f"divisible by the {n} devices across "
+                f"{jax.process_count()} processes (a device subset cannot "
+                f"be used — it would strand whole processes). Set "
+                f"BATCH_SIZE to a multiple of {n} or pass an explicit "
+                f"--mesh spec.")
+        return make_mesh(f"data={n},model=1", devices=devices)
     g = int(np.gcd(batch_size, n))
     if g < n:
         warnings.warn(

@@ -6,14 +6,30 @@ TrainState (params, opt state, step) is checkpointed; names keep the
 reference scheme ``<config>_<index>_<mode>`` with ``<index>`` = count of
 existing checkpoints matching the config name (trainers/trainer.py:43),
 so prediction CLIs can address checkpoints identically.
+
+Format versioning: every save stamps ``sdvg_format.json`` with the schema
+version. v1 (pre-stamp) checkpoints predate the transformer's final stack
+norms (enc_norm/dec_norm, the torch nn.Transformer encoder.norm/decoder.norm
+parity fix) — ``restore_checkpoint`` migrates them by initializing the
+missing LayerNorms to scale=1/bias=0 and fresh (zero) Adam moments, with a
+loud warning: the v1 architecture applied NO final norm, so the migrated
+forward is approximate, not bit-equal to what the old checkpoint produced.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import warnings
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
+
+FORMAT_VERSION = 2
+_FORMAT_FILE = "sdvg_format.json"
+# params added in v2 that v1 checkpoints lack
+_V2_NEW_PARAMS = ("enc_norm", "dec_norm")
 
 
 def checkpoint_index(checkpoint_dir: str, config_name: str) -> int:
@@ -32,13 +48,105 @@ def checkpoint_path(checkpoint_dir: str, config_name: str, index: int,
 def save_checkpoint(path: str, state) -> None:
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
+    if jax.process_index() == 0:  # multihost: one stamp writer
+        with open(os.path.join(path, _FORMAT_FILE), "w") as f:
+            json.dump({"format_version": FORMAT_VERSION}, f)
+
+
+def read_format_version(path: str) -> int:
+    """Stamped version; 1 for pre-versioning checkpoints (no stamp file)."""
+    p = os.path.join(os.path.abspath(path), _FORMAT_FILE)
+    if not os.path.exists(p):
+        return 1
+    with open(p) as f:
+        return int(json.load(f).get("format_version", 1))
 
 
 def restore_checkpoint(path: str, abstract_state):
-    """Restore into the structure of ``abstract_state`` (use jax.eval_shape)."""
-    with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(path), abstract_state)
+    """Restore into the structure of ``abstract_state`` (use jax.eval_shape).
+
+    Older-format checkpoints are migrated forward (see module docstring);
+    an unstamped checkpoint that already matches the current structure
+    (saved by early v2 builds) restores normally.
+    """
+    path = os.path.abspath(path)
+    if read_format_version(path) >= FORMAT_VERSION:
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(path, abstract_state)
+    # unstamped: try the current structure first, then the v1 migration
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(path, abstract_state)
+    except Exception:
+        return _restore_v1(path, abstract_state)
 
 
 def abstract_like(state):
     return jax.tree.map(ocp.utils.to_shape_dtype_struct, state)
+
+
+# -- v1 -> v2 migration ------------------------------------------------------
+
+def _strip(tree, names=_V2_NEW_PARAMS):
+    """Remove dict keys in ``names`` anywhere in a pytree of dicts /
+    (named)tuples / lists (covers TrainState fields and optax states)."""
+    if isinstance(tree, dict):
+        return {k: _strip(v, names) for k, v in tree.items() if k not in names}
+    if isinstance(tree, tuple) and hasattr(tree, "_fields"):  # NamedTuple
+        return type(tree)(*(_strip(v, names) for v in tree))
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_strip(v, names) for v in tree)
+    return tree
+
+
+def _init_subtree(abstract_sub, ones_for_scale: bool):
+    """Fresh values for a subtree absent from the checkpoint: LayerNorm
+    identity in params (scale=1, bias=0), zero Adam moments elsewhere."""
+    def leaf(pathkeys, a):
+        name = getattr(pathkeys[-1], "key", "") if pathkeys else ""
+        fn = jnp.ones if (ones_for_scale and name == "scale") else jnp.zeros
+        return fn(a.shape, a.dtype)
+    return jax.tree_util.tree_map_with_path(leaf, abstract_sub)
+
+
+def _fill(restored, abstract, in_params: bool, names=_V2_NEW_PARAMS):
+    """Walk ``abstract``; take values from ``restored`` where present and
+    freshly initialize the ``names`` subtrees the v1 checkpoint lacked."""
+    if isinstance(abstract, dict):
+        out = {}
+        for k, v in abstract.items():
+            if k in names and (not isinstance(restored, dict)
+                               or k not in restored):
+                out[k] = _init_subtree(v, ones_for_scale=in_params)
+            else:
+                out[k] = _fill(restored[k], v, in_params, names)
+        return out
+    if isinstance(abstract, tuple) and hasattr(abstract, "_fields"):
+        return type(abstract)(*(_fill(r, a, in_params, names)
+                                for r, a in zip(restored, abstract)))
+    if isinstance(abstract, (list, tuple)):
+        return type(abstract)(_fill(r, a, in_params, names)
+                              for r, a in zip(restored, abstract))
+    return restored
+
+
+def _restore_v1(path: str, abstract_state):
+    """Restore a pre-versioning TrainState checkpoint missing the final
+    stack norms; fill them with identity LN + fresh moments."""
+    warnings.warn(
+        f"checkpoint {path} is format v1 (predates the transformer's final "
+        "stack norms): migrating by initializing enc_norm/dec_norm to "
+        "scale=1/bias=0 with fresh Adam moments. The v1 architecture applied "
+        "no final LayerNorm, so the migrated forward is approximate — "
+        "fine-tune or re-convert from a reference .pt for exactness.",
+        stacklevel=2)
+    old_abstract = abstract_state.replace(
+        params=_strip(abstract_state.params),
+        opt_state=_strip(abstract_state.opt_state))
+    with ocp.StandardCheckpointer() as ckptr:
+        old = ckptr.restore(path, old_abstract)
+    return abstract_state.replace(
+        step=old.step,
+        params=_fill(old.params, abstract_state.params, in_params=True),
+        opt_state=_fill(old.opt_state, abstract_state.opt_state,
+                        in_params=False))

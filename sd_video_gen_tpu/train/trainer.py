@@ -188,13 +188,21 @@ class Trainer:
         self.text_embedder = (ClassNameEmbedder(num_classes, mc.text_embed_dim)
                               if mode == "text" else None)
 
+        # multi-host SPMD: every process runs this same Trainer; batches are
+        # assembled from per-process loader shards (parallel/multihost.py),
+        # and only the coordinator logs/stamps.
+        self.is_coordinator = jax.process_index() == 0
+        self.multihost = jax.process_count() > 1
+
         self.checkpoint_dir = checkpoint_dir
         os.makedirs(checkpoint_dir, exist_ok=True)
         self.index = ckpt.checkpoint_index(checkpoint_dir, cfg.config_name)
         self.run_name = run_name or f"{cfg.config_name}_{self.index}"
         debug = bool(getattr(args, "debug", False)) if args else False
-        self.logger = MetricsLogger(self.run_name, use_wandb=use_wandb and not debug,
-                                    quiet=False)
+        self.logger = MetricsLogger(
+            self.run_name,
+            use_wandb=use_wandb and not debug and self.is_coordinator,
+            quiet=not self.is_coordinator)
 
         self._init_fn, self._step_fn = make_train_step(
             self.model, self.codec, self.loss_w, cfg, mode)
@@ -221,6 +229,12 @@ class Trainer:
 
     def _shard_state(self):
         shardings = param_shardings(self.mesh, self.state)
+        if self.multihost:
+            # every process holds an identical host-local copy (same seed,
+            # same init program); device_put onto a mesh spanning processes
+            # needs plain host arrays, each process materializing its own
+            # addressable shards.
+            self.state = jax.tree.map(np.asarray, self.state)
         self.state = jax.device_put(self.state, shardings)
 
     def resume(self, old_name: str):
@@ -250,6 +264,12 @@ class Trainer:
         return self.text_embedder(labels)
 
     def _put_batch(self, frames):
+        if self.multihost:
+            # frames here are THIS process's slice of the global batch
+            # (BatchLoader process_shard); assemble the global array with
+            # batch-over-'data' layout spanning all hosts' devices.
+            from sd_video_gen_tpu.parallel.multihost import global_batch_from_local
+            return global_batch_from_local(self.mesh, np.asarray(frames))
         return jax.device_put(jnp.asarray(frames), batch_sharding(self.mesh))
 
     def train_loop(self, loader, rng):
@@ -279,6 +299,12 @@ class Trainer:
             comps = self._eval_fn(self.state.params, batch, self._texts(indices))
             sums = comps if sums is None else jax.tree.map(jnp.add, sums, comps)
             nb += 1
+        if sums is None:
+            import warnings
+            warnings.warn(
+                "validation epoch yielded no batches (dataset smaller than "
+                "one mesh-shardable batch?) — val metrics report 0",
+                stacklevel=2)
         means = jax.tree.map(lambda s: s / max(nb, 1), sums or {})
         return {f"{'L1' if k == 'l1' else k}_val": float(v)
                 for k, v in means.items()}
@@ -452,7 +478,23 @@ def main(argv=None):
     parser.add_argument("--native_cache", type=str, default=None,
                         help="feed batches through the C++ fastloader from a "
                              "data/native_loader.py frame cache dir")
+    parser.add_argument("--multihost", action="store_true",
+                        help="join a multi-process SPMD run "
+                             "(jax.distributed.initialize): the mesh spans "
+                             "all hosts' devices, each host loads only its "
+                             "slice of every global batch")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address host:port (auto-detected "
+                             "on TPU pods)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
+
+    if args.multihost:
+        # must run before any device query/computation
+        from sd_video_gen_tpu.parallel import multihost
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
 
     from sd_video_gen_tpu.config import load_config
     from sd_video_gen_tpu.data import BatchLoader
@@ -488,12 +530,17 @@ def main(argv=None):
             else:
                 train_ds = build_dataset(cfg, args, "train")
                 val_ds = build_dataset(cfg, args, "test")
+            shard = ((jax.process_index(), jax.process_count())
+                     if jax.process_count() > 1 else None)
+            mult = jax.device_count() if shard else None
             train_loader = BatchLoader(train_ds, cfg.batch_size,
                                        epoch_ratio=cfg.epoch_ratio,
-                                       seed=args.seed)
+                                       seed=args.seed, process_shard=shard,
+                                       shard_multiple=mult)
             val_loader = BatchLoader(val_ds, cfg.batch_size,
                                      epoch_ratio=cfg.epoch_ratio,
-                                     seed=args.seed)
+                                     seed=args.seed, process_shard=shard,
+                                     shard_multiple=mult)
         if args.resume:
             indices, frames = next(iter(train_loader))
             trainer.init_state(frames, args.seed, trainer._texts(indices))

@@ -1,4 +1,12 @@
-"""Multi-host helpers (single-process semantics over the virtual mesh)."""
+"""Multi-host: helper semantics on the virtual mesh, plus a REAL 2-process
+integration run (jax.distributed over localhost) asserting the multi-process
+loss trajectory matches the single-process 8-device run."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
 
 import numpy as np
 import jax
@@ -20,3 +28,50 @@ def test_global_batch_from_local(rng):
 
 def test_is_coordinator_single_process():
     assert is_coordinator() is True
+
+
+def test_two_process_trajectory_matches_single_process(tmp_path):
+    """2 processes x 4 virtual CPU devices, joined by jax.distributed with a
+    localhost coordinator, must reproduce the single-process 8-device loss
+    trajectory: same global batches (loader process_shard slices +
+    global_batch_from_local reassembly), same SPMD program."""
+    from sd_video_gen_tpu.data import generate_bouncing_ball_tree
+    from tests.multihost_case import run_case
+
+    root = generate_bouncing_ball_tree(str(tmp_path / "data"),
+                                       n_train_seqs=4, n_test_seqs=1,
+                                       frames_per_seq=10, size=16)
+    single = run_case(root)
+
+    with socket.socket() as s:  # free localhost port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own 4-device flag
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), root],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    trajs = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("TRAJECTORY ")]
+        assert lines, f"no trajectory in worker output:\n{out[-3000:]}"
+        trajs.append(json.loads(lines[-1][len("TRAJECTORY "):]))
+
+    # both processes observe the same (replicated) global losses
+    np.testing.assert_allclose(trajs[0], trajs[1], rtol=1e-6)
+    np.testing.assert_allclose(trajs[0], single, rtol=1e-5, atol=1e-6)
