@@ -280,18 +280,22 @@ def scenario_denoise(batch: int = 1):
     return BATCH * PRED / best, "frames/sec/chip"
 
 
-def scenario_train():
+def scenario_train(batch: int = 6, precision: str = "f32"):
     """Training steps/sec at the flagship config (11_27_ucf_final.yml):
     batch 6, 128px (latent_dim 1024), dim 2048, 4 enc + 8 dec, composite
     MSE+GDL+NCE loss, Adam. Chains STEPS optimizer steps in one dispatch
-    (state is the carry — a real dependence chain)."""
+    (state is the carry — a real dependence chain).
+
+    ``batch``/``precision`` mirror the trainer's BATCH_SIZE and --precision
+    (f32 | bf16 mixed | bf16_full): the knee search behind the
+    train_flagship_tuned scenario (tools/bench_knee.py)."""
     from sd_video_gen_tpu.config import Config
     from sd_video_gen_tpu.codecs import PixelCodec
     from sd_video_gen_tpu.ops import LossWeights
     from sd_video_gen_tpu.train.trainer import make_train_step
 
     STEPS = 8
-    cfg = Config(config_name="11_27_ucf_final", lr=1e-5, batch_size=6,
+    cfg = Config(config_name="11_27_ucf_final", lr=1e-5, batch_size=batch,
                  frames_per_clip=5, frames_to_predict=5, frame_size=128,
                  dim_model=2048, num_heads=8, num_encoder_layers=4,
                  num_decoder_layers=8, dropout_p=0.1, use_mse=True,
@@ -304,10 +308,16 @@ def scenario_train():
                                 num_heads=cfg.num_heads,
                                 num_encoder_layers=cfg.num_encoder_layers,
                                 num_decoder_layers=cfg.num_decoder_layers,
-                                dropout_p=cfg.dropout_p)
+                                dropout_p=cfg.dropout_p,
+                                dtype=(jnp.float32 if precision == "f32"
+                                       else jnp.bfloat16),
+                                param_dtype=(jnp.bfloat16
+                                             if precision == "bf16_full"
+                                             else jnp.float32))
     model = FrameTransformer(mc)
-    init_fn, step_fn = make_train_step(model, codec,
-                                       LossWeights.from_config(cfg), cfg)
+    init_fn, step_fn = make_train_step(
+        model, codec, LossWeights.from_config(cfg), cfg,
+        mu_dtype=jnp.bfloat16 if precision == "bf16_full" else None)
 
     frames = np.random.default_rng(0).integers(
         0, 255, (cfg.batch_size, cfg.frames_per_clip + cfg.frames_to_predict,

@@ -60,6 +60,67 @@ def param_shardings(mesh: Mesh, params):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+# -- UNet / VAE (diffusion) tensor parallelism --------------------------------
+#
+# Megatron pairing inside every residual / attention / FFN block: the FIRST
+# matmul-ish op is column-parallel (OUT features over ``model``), the SECOND
+# row-parallel (IN features over ``model``), so GSPMD emits exactly one
+# all-reduce per block back onto the replicated residual stream. Conv kernels
+# are flax HWIO — column = shard axis 3, row = shard axis 2.
+#
+#   ResnetBlock:  conv1 (col) -> GN/SiLU (shard-aligned: out_ch/axis keeps
+#                 whole GroupNorm groups per shard) -> conv2 (row);
+#                 time_emb_proj col-parallel to match conv1's layout;
+#                 conv_shortcut stays replicated (adds to the residual).
+#   Attention:    to_q/to_k/to_v (col: heads split across devices) ->
+#                 to_out_0 (row). VAE single-head: query/key/value ->
+#                 proj_attn.
+#   GEGLU FFN:    geglu_proj (col) -> out_proj (row).
+#   TimeEmbedding linear_1 (col) -> linear_2 (row).
+#
+# NB: the Pallas flash-attention kernel cannot be auto-partitioned by GSPMD;
+# model-parallel UNet serving must run the einsum attention path (the
+# dispatch already falls back off-TPU; on TPU pass interpret/einsum mode —
+# see tools/bench_mesh_denoise.py).
+
+_DIFF_COL = ("conv1", "to_q", "to_k", "to_v", "geglu_proj", "time_emb_proj",
+             "query", "key", "value", "linear_1")
+_DIFF_ROW = ("conv2", "to_out_0", "out_proj", "proj_attn", "linear_2")
+
+
+def _diffusion_spec(path: tuple[str, ...], leaf, axis_size: int) -> P:
+    if not path or path[-1] != "kernel":
+        return P()  # biases / norms: replicated
+    parent = path[-2] if len(path) >= 2 else ""
+    nd = getattr(leaf, "ndim", 0)
+    if nd not in (2, 4):
+        return P()
+    out_dim, in_dim = leaf.shape[-1], leaf.shape[-2]
+    none_pre = (None,) * (nd - 2)
+    if parent in _DIFF_COL and out_dim % axis_size == 0:
+        return P(*none_pre, None, AXIS_MODEL)
+    if parent in _DIFF_ROW and in_dim % axis_size == 0:
+        return P(*none_pre, AXIS_MODEL, None)
+    return P()
+
+
+def diffusion_param_shardings(mesh: Mesh, params):
+    """Tensor-parallel NamedShardings for UNet2DCondition / AutoencoderKL
+    param trees (rules above); kernels whose feature dim does not divide the
+    ``model`` axis stay replicated."""
+    axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))[AXIS_MODEL]
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def one(path, leaf):
+        keys = tuple(getattr(k, "key", getattr(k, "name", str(k)))
+                     for k in path)
+        return NamedSharding(mesh, _diffusion_spec(keys, leaf, axis_size))
+
+    leaves = [one(p, l) for p, l in flat]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params), leaves)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis over the data axis; rest replicated."""
     return NamedSharding(mesh, P(AXIS_DATA))

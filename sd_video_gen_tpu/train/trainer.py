@@ -96,11 +96,18 @@ def _predictions_and_targets(model, params, latents, k, mode, rngs,
 
 def make_train_step(model, codec, loss_w: LossWeights, cfg: Config,
                     mode: str = "ar", lr: float | None = None,
-                    tx: optax.GradientTransformation | None = None):
-    """Build (init_fn, step_fn). step_fn: (state, frames_u8, rng[, text]) -> (state, metrics)."""
+                    tx: optax.GradientTransformation | None = None,
+                    mu_dtype=None):
+    """Build (init_fn, step_fn). step_fn: (state, frames_u8, rng[, text]) -> (state, metrics).
+
+    ``mu_dtype`` is forwarded to optax.adam (bf16 first moments halve the
+    optimizer's HBM traffic — the flagship step is weight-bandwidth-bound,
+    BASELINE.md). Loss terms are always computed in f32 regardless of the
+    model's compute dtype.
+    """
     k = cfg.frames_to_predict
     use_sos = mode not in ("future", "learned_tgt")
-    tx = tx or optax.adam(lr if lr is not None else cfg.lr)
+    tx = tx or optax.adam(lr if lr is not None else cfg.lr, mu_dtype=mu_dtype)
     codec_params = getattr(codec, "params", None)
 
     def init_fn(rng, sample_frames, text_embeds=None):
@@ -123,7 +130,10 @@ def make_train_step(model, codec, loss_w: LossWeights, cfg: Config,
         pred_k, target_k = _predictions_and_targets(
             model, params, latents, k, mode, rngs={"dropout": rng},
             text_embeds=text_embeds, deterministic=False)
-        return composite_loss(pred_k, target_k, loss_w)
+        # loss math in f32 even under bf16 compute (GDL diffs / NCE logits
+        # lose real precision in bf16); no-op on the f32 path
+        return composite_loss(pred_k.astype(jnp.float32),
+                              target_k.astype(jnp.float32), loss_w)
 
     @partial(jax.jit, donate_argnums=(0,))
     def step_impl(state, frames, rng, text_embeds, cparams):
@@ -167,10 +177,18 @@ class Trainer:
                  codec_kind: str = "pixel", mesh=None, model_cfg=None,
                  checkpoint_dir: str = "./checkpoints", run_name=None,
                  use_wandb: bool = True, num_classes: int = 101,
-                 vae_params=None):
+                 vae_params=None, precision: str | None = None):
         self.cfg = cfg
         self.args = args
         self.mode = mode
+        # --precision: f32 (default) | bf16 (bf16 compute, f32 master params
+        # + f32 moments — the safe mixed-precision default) | bf16_full
+        # (bf16 params AND bf16 Adam mu: max HBM-bandwidth savings on the
+        # weight-bound flagship step; documented numerics caveat).
+        self.precision = (precision if precision is not None
+                          else getattr(args, "precision", "f32") or "f32")
+        if self.precision not in ("f32", "bf16", "bf16_full"):
+            raise ValueError(f"unknown precision {self.precision}")
         if mesh is not None:
             self.mesh = mesh
         else:
@@ -183,6 +201,12 @@ class Trainer:
         self.codec = make_codec(cfg, codec_kind, vae_params=vae_params)
         mc = model_cfg or FrameTransformerConfig.from_config(
             cfg, mode=mode if mode in ("future", "learned_tgt", "text") else "ar")
+        if self.precision != "f32" and model_cfg is None:
+            import dataclasses
+            mc = dataclasses.replace(
+                mc, dtype=jnp.bfloat16,
+                param_dtype=(jnp.bfloat16 if self.precision == "bf16_full"
+                             else jnp.float32))
         self.model = FrameTransformer(mc)
         self.loss_w = LossWeights.from_config(cfg)
         self.text_embedder = (ClassNameEmbedder(num_classes, mc.text_embed_dim)
@@ -205,7 +229,9 @@ class Trainer:
             quiet=not self.is_coordinator)
 
         self._init_fn, self._step_fn = make_train_step(
-            self.model, self.codec, self.loss_w, cfg, mode)
+            self.model, self.codec, self.loss_w, cfg, mode,
+            mu_dtype=(jnp.bfloat16 if self.precision == "bf16_full"
+                      else None))
         self._eval_fn = make_eval_step(self.model, self.codec, self.loss_w,
                                        cfg, mode)
         self.state = None
@@ -478,6 +504,11 @@ def main(argv=None):
     parser.add_argument("--native_cache", type=str, default=None,
                         help="feed batches through the C++ fastloader from a "
                              "data/native_loader.py frame cache dir")
+    parser.add_argument("--precision", type=str, default="f32",
+                        choices=["f32", "bf16", "bf16_full"],
+                        help="f32 | bf16 (bf16 compute, f32 master weights) "
+                             "| bf16_full (bf16 weights + bf16 Adam mu: "
+                             "fastest on the weight-bandwidth-bound step)")
     parser.add_argument("--multihost", action="store_true",
                         help="join a multi-process SPMD run "
                              "(jax.distributed.initialize): the mesh spans "

@@ -1,0 +1,141 @@
+"""Tensor-parallel sharding rules for the SD UNet and VAE.
+
+r2 sharded only the frame transformer; the UNet — 78% of the denoise
+pipeline's frame time — was replicated, so one denoise stream could never
+use more than one chip. These tests validate the Megatron-style rules in
+parallel/sharding.diffusion_param_shardings on the virtual 8-device mesh:
+(a) kernels actually get sharded over 'model', (b) the sharded forward
+matches the single-device forward, for both a reduced-width UNet denoise
+scan and the VAE encode/decode.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sd_video_gen_tpu.models.unet import UNet2DCondition, UNetConfig
+from sd_video_gen_tpu.models.vae import AutoencoderKL, VAEConfig
+from sd_video_gen_tpu.parallel import make_mesh, diffusion_param_shardings
+
+
+def _tiny_unet():
+    cfg = UNetConfig(block_out_channels=(32, 64), layers_per_block=1,
+                     attention_heads=4, cross_attention_dim=32,
+                     norm_num_groups=8)
+    model = UNet2DCondition(cfg)
+    z = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 2, 32))
+    params = model.init(jax.random.PRNGKey(0), z,
+                        jnp.zeros((1,), jnp.int32), ctx)
+    return model, params
+
+
+def _tiny_vae():
+    cfg = VAEConfig(block_out_channels=(32, 64), layers_per_block=1,
+                    norm_num_groups=8)
+    model = AutoencoderKL(cfg)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    return model, params
+
+
+def _spec_of(shardings, *path):
+    node = shardings
+    for p in path:
+        node = node[p]
+    return node.spec
+
+
+def test_unet_rules_shard_megatron_pairs():
+    mesh = make_mesh("data=2,model=4")
+    model, params = _tiny_unet()
+    sh = diffusion_param_shardings(mesh, params)
+    p = sh["params"]
+    # resnet: conv1 col (HWIO out), conv2 row (HWIO in)
+    assert _spec_of(p, "down_0_res_0", "conv1", "kernel") == \
+        P(None, None, None, "model")
+    assert _spec_of(p, "down_0_res_0", "conv2", "kernel") == \
+        P(None, None, "model", None)
+    # temb injection matches conv1 layout
+    assert _spec_of(p, "down_0_res_0", "time_emb_proj", "kernel") == \
+        P(None, "model")
+    # attention: qkv col, out row
+    blk = p["down_0_attn_0"]["block_0"]
+    assert blk["attn1"]["to_q"]["kernel"].spec == P(None, "model")
+    assert blk["attn1"]["to_out_0"]["kernel"].spec == P("model", None)
+    # GEGLU: proj col, out row
+    assert blk["ff"]["geglu_proj"]["kernel"].spec == P(None, "model")
+    assert blk["ff"]["out_proj"]["kernel"].spec == P("model", None)
+    # norms / biases / in-out convs replicated
+    assert _spec_of(p, "conv_in", "kernel") == P()
+    assert _spec_of(p, "down_0_res_0", "norm1", "scale") == P()
+
+
+def test_unet_sharded_forward_matches_single_device(rng):
+    model, params = _tiny_unet()
+    z = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([3, 7], jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((2, 2, 32)), jnp.float32)
+    ref = jax.jit(model.apply)(params, z, t, ctx)
+
+    for spec in ("data=1,model=8", "data=2,model=4"):
+        mesh = make_mesh(spec)
+        sharded = jax.device_put(params, diffusion_param_shardings(mesh, params))
+        batch_sh = NamedSharding(mesh, P("data"))
+        out = jax.jit(model.apply)(sharded, jax.device_put(z, batch_sh), t, ctx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_vae_sharded_roundtrip_matches_single_device(rng):
+    model, params = _tiny_vae()
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    enc_ref = jax.jit(lambda p, x: model.apply(p, x,
+                                               method=AutoencoderKL.encode)[0]
+                      )(params, x)
+    dec_ref = jax.jit(lambda p, z: model.apply(p, z,
+                                               method=AutoencoderKL.decode)
+                      )(params, enc_ref)
+
+    mesh = make_mesh("data=1,model=8")
+    sh = diffusion_param_shardings(mesh, params)
+    # rules bite: at least one col- and one row-parallel kernel in each of
+    # encoder/decoder
+    flat = jax.tree_util.tree_leaves_with_path(sh)
+    specs = [l.spec for _, l in flat]
+    assert any(s == P(None, None, None, "model") for s in specs)
+    assert any(s == P(None, None, "model", None) for s in specs)
+
+    sharded = jax.device_put(params, sh)
+    enc = jax.jit(lambda p, x: model.apply(p, x,
+                                           method=AutoencoderKL.encode)[0]
+                  )(sharded, x)
+    dec = jax.jit(lambda p, z: model.apply(p, z, method=AutoencoderKL.decode)
+                  )(sharded, enc)
+    np.testing.assert_allclose(np.asarray(enc), np.asarray(enc_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(dec_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_denoise_scan_sharded_matches_single_device(rng):
+    """One DDIM-style denoise scan (the UNet inside lax.scan, as the refine
+    hook runs it) with model-sharded params == single-device."""
+    model, params = _tiny_unet()
+    z = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 2, 32)), jnp.float32)
+
+    def scan_denoise(p, z):
+        def body(x, t):
+            eps = model.apply(p, x, jnp.broadcast_to(t, (x.shape[0],)), ctx)
+            return x - 0.1 * eps, None
+        out, _ = jax.lax.scan(body, z, jnp.arange(4, dtype=jnp.int32))
+        return out
+
+    ref = jax.jit(scan_denoise)(params, z)
+    mesh = make_mesh("data=1,model=8")
+    sharded = jax.device_put(params, diffusion_param_shardings(mesh, params))
+    out = jax.jit(scan_denoise)(sharded, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)

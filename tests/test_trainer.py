@@ -153,3 +153,29 @@ def test_default_mesh_warns_on_idle_devices():
         mesh = default_mesh_for_batch(8)
     assert mesh.devices.size == 8
     assert not rec
+
+
+def test_precision_bf16_variants(tmp_path):
+    """--precision bf16 keeps f32 master params with bf16 compute;
+    bf16_full stores bf16 params + bf16 Adam mu. Both must train."""
+    root = generate_bouncing_ball_tree(str(tmp_path / "data"), n_train_seqs=3,
+                                       n_test_seqs=1, frames_per_seq=10,
+                                       size=32)
+    mesh = make_mesh("data=1,model=1", devices=jax.devices()[:1])
+    tr = BatchLoader(BouncingBallDataset(5, 1, root, "train", seed=1), 2,
+                     seed=1)
+
+    for precision, pdtype, mudtype in (("bf16", jnp.float32, jnp.float32),
+                                       ("bf16_full", jnp.bfloat16,
+                                        jnp.bfloat16)):
+        t = Trainer(_tiny_cfg(), mode="ar", mesh=mesh,
+                    checkpoint_dir=str(tmp_path / f"ck_{precision}"),
+                    use_wandb=False, precision=precision)
+        hist = t.fit(tr, tr, epochs=3)
+        assert hist[-1]["train_loss"] < hist[0]["train_loss"], precision
+        kern = t.state.params["params"]["embedding"]["kernel"]
+        assert kern.dtype == pdtype, precision
+        mu = t.state.opt_state[0].mu["params"]["embedding"]["kernel"]
+        assert mu.dtype == mudtype, precision
+        # losses are finite and f32 regardless of compute dtype
+        assert np.isfinite(hist[-1]["train_loss"])
