@@ -87,3 +87,59 @@ def test_latent_records_flat(cache, tmp_path):
     assert len(batches) == 2
     np.testing.assert_array_equal(batches[0][1], lat[:3])
     loader.close()
+
+
+def test_ucf_avi_to_native_cache_to_train_step(tmp_path):
+    """VERDICT r2 #8: the full UCF -> native cache -> C++ loader -> train
+    step path. Synthesizes a tiny .avi tree, enumerates it with
+    UCF101Dataset, serializes to the native cache, and trains one epoch
+    through NativeBatchLoader."""
+    import cv2
+    import jax
+    from sd_video_gen_tpu.config import Config
+    from sd_video_gen_tpu.data.ucf101 import UCF101Dataset
+    from sd_video_gen_tpu.parallel import make_mesh
+    from sd_video_gen_tpu.train.trainer import Trainer
+
+    data = tmp_path / "UCF-101"
+    cls = "ApplyLipstick"
+    (data / cls).mkdir(parents=True)
+    names = []
+    rng = np.random.default_rng(0)
+    for vi in range(3):
+        name = f"v_{cls}_g{vi:02d}_c01.avi"
+        vw = cv2.VideoWriter(str(data / cls / name),
+                             cv2.VideoWriter_fourcc(*"MJPG"), 12.0, (32, 32))
+        for _ in range(16):
+            vw.write(rng.integers(0, 255, (32, 32, 3), np.uint8))
+        vw.release()
+        names.append(f"{cls}/{name}")
+    splits = tmp_path / "splits"
+    splits.mkdir()
+    (splits / "trainlist01.txt").write_text(
+        "".join(f"{n} 1\n" for n in names))
+    (splits / "testlist01.txt").write_text(names[0] + "\n")
+
+    ds = UCF101Dataset(str(data), str(splits), frames_per_clip=7,
+                       train=True, frame_rate=None, frame_size=32)
+    assert len(ds) >= 8
+    cache_dir = str(tmp_path / "cache")
+    build_frame_cache(ds, cache_dir, "train")
+    build_frame_cache(ds, cache_dir, "test")
+
+    loader = NativeBatchLoader(cache_dir, "train", batch_size=4, n_threads=2,
+                               seed=1)
+    val = NativeBatchLoader(cache_dir, "test", batch_size=4, n_threads=2,
+                            seed=1)
+    cfg = Config(config_name="ucfnat", lr=1e-3, batch_size=4,
+                 frames_per_clip=5, frames_to_predict=2, frame_size=32,
+                 dim_model=32, num_heads=4, num_encoder_layers=1,
+                 num_decoder_layers=1, dropout_p=0.0, use_mse=True)
+    mesh = make_mesh("data=1,model=1", devices=jax.devices()[:1])
+    tr = Trainer(cfg, mode="ar", mesh=mesh,
+                 checkpoint_dir=str(tmp_path / "ck"), use_wandb=False)
+    hist = tr.fit(loader, val, epochs=2)
+    assert np.isfinite(hist[-1]["train_loss"])
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"] * 1.5  # training
+    loader.close()
+    val.close()
