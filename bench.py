@@ -280,6 +280,27 @@ def scenario_denoise(batch: int = 1):
     return BATCH * PRED / best, "frames/sec/chip"
 
 
+def _flagship_train_flops(batch, t_src, t_tgt, d=2048, dff=2048,
+                          n_enc=4, n_dec=8, latent=1024):
+    """Analytic FLOPs of one flagship train step (fwd + bwd ~= 3x fwd):
+    matmul terms per token plus the attention score/value quadratics."""
+    emb = latent * d
+    enc_lin = 4 * d * d + 2 * d * dff          # qkv+out, ffn
+    dec_lin = 8 * d * d + 2 * d * dff          # self + cross, ffn
+    out = d * latent
+    fwd = 2.0 * batch * (
+        t_src * (n_enc * enc_lin + emb)
+        + t_tgt * (n_dec * dec_lin + emb + out))
+    attn = 2.0 * batch * d * 2 * (
+        n_enc * t_src ** 2 + n_dec * (t_tgt ** 2 + t_tgt * t_src))
+    return 3.0 * (fwd + attn)
+
+
+# v5e peak: 197 TFLOP/s bf16 (394 int8); HBM ~819 GB/s
+V5E_PEAK_BF16 = 197e12
+V5E_HBM_GBS = 819.0
+
+
 def scenario_train(batch: int = 6, precision: str = "f32"):
     """Training steps/sec at the flagship config (11_27_ucf_final.yml):
     batch 6, 128px (latent_dim 1024), dim 2048, 4 enc + 8 dec, composite
@@ -335,7 +356,25 @@ def scenario_train(batch: int = 6, precision: str = "f32"):
         return jnp.sum(losses)
 
     best = _time_best(timed, state, batch)
-    return STEPS / best, "steps/sec/chip"
+    steps_per_s = STEPS / best
+
+    # utilization diagnostics: analytic FLOPs vs bf16 peak, and the step's
+    # weight+optimizer HBM traffic vs peak bandwidth (the flagship step is
+    # bandwidth-bound — BASELINE.md)
+    t_clip = cfg.frames_per_clip + cfg.frames_to_predict
+    flops = _flagship_train_flops(batch, t_clip + 1, t_clip)
+    n_params = sum(p.size for p in jax.tree.leaves(state.params))
+    pb = 2 if precision == "bf16_full" else 4   # param bytes
+    mb = 2 if precision == "bf16_full" else 4   # adam mu bytes
+    # fwd+bwd re-read weights ~3x; optimizer reads p/mu/nu + writes all
+    step_bytes = 3 * n_params * pb + 2 * n_params * (pb + mb + 4)
+    print(json.dumps({
+        "info": f"train_b{batch}_{precision}",
+        "clips_per_s": round(steps_per_s * batch, 1),
+        "mfu": round(flops * steps_per_s / V5E_PEAK_BF16, 4),
+        "hbm_util_est": round(step_bytes * steps_per_s / (V5E_HBM_GBS * 1e9),
+                              3)}), flush=True)
+    return steps_per_s, "steps/sec/chip"
 
 
 SCENARIOS = [("pixel_ar16", scenario_pixel),

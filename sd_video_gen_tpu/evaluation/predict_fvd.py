@@ -223,12 +223,17 @@ def main(argv=None):
     st_real, st_gen = FeatureStats(400), FeatureStats(400)
     logits_real, logits_gen = [], []
     n_clips = 0
+    mse_sum, mse_n = 0.0, 0  # pixel MSE in [0,1] over the predicted horizon
     for bi, (indices, frames) in enumerate(loader):
         if n_clips >= args.max_clips:
             break
         frames = jnp.asarray(frames)
         context = frames[:, :cfg.frames_per_clip]
         gen = gen_video(params, context, indices)
+        diff = (gen[:, cfg.frames_per_clip:].astype(jnp.float32)
+                - frames[:, cfg.frames_per_clip:].astype(jnp.float32)) / 255.0
+        mse_sum += float(jnp.sum(diff * diff))
+        mse_n += diff.size
         if sharded_stats is not None:
             if args.fvd_api != "streaming":
                 raise ValueError("--mesh implies --fvd_api streaming "
@@ -246,8 +251,10 @@ def main(argv=None):
             print(f"[{n_clips} clips] FVD so far: {_fvd(args, st_real, st_gen, logits_real, logits_gen):.3f}")
 
     fvd = _fvd(args, st_real, st_gen, logits_real, logits_gen)
-    print(f"FVD ({args.fvd_api}, {n_clips} clips): {fvd:.3f}")
-    return fvd
+    mse = mse_sum / max(mse_n, 1)
+    print(f"FVD ({args.fvd_api}, {n_clips} clips): {fvd:.3f}  "
+          f"pred MSE: {mse:.5f}")
+    return fvd, mse
 
 
 def _fvd(args, st_real, st_gen, logits_real, logits_gen):
