@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -152,25 +153,37 @@ def should_use_flash(shape, dtype, on_tpu: bool,
           / 1.25x (bf16) — the 512px UNet down_0 hot spot, where XLA
           materializes the 4096^2 probability matrix;
       (8, 1024, 80) and (1, 4096, 512): inside the ~+-10% run-to-run noise
-          of the tunneled dev chip — einsum stays (simpler, XLA-fused).
+          of the tunneled dev chip — einsum stays (simpler, XLA-fused);
+      serving batch (r3, tools/bench_unet_attn.py, BH=64): flash 1.91x at
+          (64, 4096, 40), 1.12x at (64, 1024, 80), tie at 256 tokens and a
+          0.9x LOSS at 64 tokens — so large-batch dispatch adds the
+          1024-token level but nothing shorter.
 
-    So flash where it measurably pays: T >= 4096 with head_dim <= 128
-    (either dtype; wide-head shapes also exceed the VMEM logits-tile
-    budget at the big block sizes the win comes from)."""
-    T, d = shape[1], shape[2]
+    So flash where it measurably pays: T >= 4096 with head_dim <= 128, or
+    T >= 1024 when the head-batch is serving-sized (BH >= 64). NB: the
+    4096-token hd=40 attention is ~10% MFU under EITHER impl — a 40-wide
+    contraction uses 40 of the MXU's 128 lanes; intrinsic to SD-v1's head
+    shape, and the dominant term in the UNet's 40% step MFU
+    (BASELINE.md roofline)."""
+    BH, T, d = shape[0], shape[1], shape[2]
     bq, bk = auto_blocks(T, d)
-    return (on_tpu and T >= min_flash_len
+    long_enough = T >= min_flash_len or (T >= 1024 and BH >= 64)
+    return (on_tpu and long_enough
             and d <= 128 and T % bq == 0 and T % bk == 0)
 
 
 def attention(q, k, v, scale: float | None = None,
               min_flash_len: int = 4096, force: str | None = None):
     """Dispatch: Pallas flash kernel on TPU where measured faster, einsum
-    otherwise. q/k/v: (BH, T, d). ``force`` in {'flash','reference'} pins it."""
-    use_flash = (force == "flash" or
-                 (force is None and q.shape == k.shape and
-                  should_use_flash(q.shape, q.dtype, _on_tpu(),
-                                   min_flash_len)))
+    otherwise. q/k/v: (BH, T, d). ``force`` in {'flash','reference'} pins it;
+    env SDVG_ATTN_FORCE does the same globally (experiments/benchmarks)."""
+    if force is None:
+        force = os.environ.get("SDVG_ATTN_FORCE") or None
+    use_flash = (q.shape == k.shape and
+                 (force == "flash" or
+                  (force is None and
+                   should_use_flash(q.shape, q.dtype, _on_tpu(),
+                                    min_flash_len))))
     if use_flash:
         return flash_attention(q, k, v, scale)
     return reference_attention(q, k, v, scale)

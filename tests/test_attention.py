@@ -58,6 +58,8 @@ def test_dispatch_policy_matches_measurements():
     assert should_use_flash((8, 4096, 40), bf16, True)        # 1.25x win
     assert should_use_flash((8, 4096, 40), f32, True)         # 1.45x win
     assert not should_use_flash((8, 1024, 80), bf16, True)    # noise-level
+    assert should_use_flash((64, 1024, 80), bf16, True)       # 1.12x at BH=64
+    assert not should_use_flash((64, 256, 160), bf16, True)   # tie at 256
     assert not should_use_flash((1, 4096, 512), bf16, True)   # d too wide
     assert not should_use_flash((8, 4096, 40), bf16, False)   # not on TPU
     # block policy: big tiles for narrow heads, VMEM-safe for wide ones
