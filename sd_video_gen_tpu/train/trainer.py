@@ -401,7 +401,8 @@ class Trainer:
         return compute_fvd(st_r, st_g)
 
     def fit(self, train_loader, val_loader, epochs: int, seed: int = 0,
-            save_best: bool = False, fvd_every: int = 0, fvd_i3d=None):
+            save_best: bool = False, fvd_every: int = 0, fvd_i3d=None,
+            ckpt_every: int = 1):
         rng = jax.random.PRNGKey(seed)
         if self.state is None:
             indices, frames = next(iter(train_loader))
@@ -421,7 +422,12 @@ class Trainer:
                                                                *fvd_i3d)
                 self.logger.log(metrics, step=int(self.state.step))
                 history.append(metrics)
-                self._save(metrics, save_best)
+                # --ckpt_every: a full-TrainState save moves params + Adam
+                # state (GBs at flagship scale); epoch-granular saving is a
+                # reference behavior worth rate-limiting on slow links.
+                # The final epoch always saves.
+                if epoch % max(ckpt_every, 1) == 0 or epoch == epochs:
+                    self._save(metrics, save_best)
         except (KeyboardInterrupt, SystemExit, Exception) as e:
             # failure/preemption handling: persist an emergency checkpoint
             # (params + opt state + step) so --resume continues exactly; the
@@ -504,6 +510,9 @@ def main(argv=None):
     parser.add_argument("--native_cache", type=str, default=None,
                         help="feed batches through the C++ fastloader from a "
                              "data/native_loader.py frame cache dir")
+    parser.add_argument("--ckpt_every", type=int, default=1,
+                        help="checkpoint every N epochs (final epoch always "
+                             "saves; a flagship TrainState save moves GBs)")
     parser.add_argument("--precision", type=str, default="f32",
                         choices=["f32", "bf16", "bf16_full"],
                         help="f32 | bf16 (bf16 compute, f32 master weights) "
@@ -582,7 +591,8 @@ def main(argv=None):
             fvd_i3d = load_i3d(args.i3d_weights)
         trainer.fit(train_loader, val_loader, epochs=cfg.epochs,
                     seed=args.seed, save_best=args.save_best,
-                    fvd_every=args.fvd_every, fvd_i3d=fvd_i3d)
+                    fvd_every=args.fvd_every, fvd_i3d=fvd_i3d,
+                    ckpt_every=args.ckpt_every)
         trainer.logger.close()
 
 
