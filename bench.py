@@ -361,17 +361,19 @@ def scenario_train(batch: int = 6, precision: str = "f32"):
 
     # utilization diagnostics: analytic FLOPs vs bf16 peak, and the step's
     # weight+optimizer HBM traffic vs peak bandwidth (the flagship step is
-    # bandwidth-bound — BASELINE.md)
+    # bandwidth-bound — BASELINE.md). NB: ``batch`` the parameter was
+    # rebound to the frames array above — use cfg.batch_size.
+    bsz = cfg.batch_size
     t_clip = cfg.frames_per_clip + cfg.frames_to_predict
-    flops = _flagship_train_flops(batch, t_clip + 1, t_clip)
+    flops = _flagship_train_flops(bsz, t_clip + 1, t_clip)
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     pb = 2 if precision == "bf16_full" else 4   # param bytes
     mb = 2 if precision == "bf16_full" else 4   # adam mu bytes
     # fwd+bwd re-read weights ~3x; optimizer reads p/mu/nu + writes all
     step_bytes = 3 * n_params * pb + 2 * n_params * (pb + mb + 4)
     print(json.dumps({
-        "info": f"train_b{batch}_{precision}",
-        "clips_per_s": round(steps_per_s * batch, 1),
+        "info": f"train_b{bsz}_{precision}",
+        "clips_per_s": round(steps_per_s * bsz, 1),
         "mfu": round(flops * steps_per_s / V5E_PEAK_BF16, 4),
         "hbm_util_est": round(step_bytes * steps_per_s / (V5E_HBM_GBS * 1e9),
                               3)}), flush=True)

@@ -19,7 +19,10 @@ available.
 
 from __future__ import annotations
 
+import json
 import os
+import time
+
 import numpy as np
 import cv2
 import jax
@@ -223,6 +226,10 @@ def main(argv=None):
                              "index positional encoding so converted "
                              "reference checkpoints reproduce their trained "
                              "forward exactly (PARITY.md 'Known deviations')")
+    parser.add_argument("--timing", action="store_true",
+                        help="print a per-stage wall-clock JSON line at exit "
+                             "(predict incl. compile on first batch / "
+                             "decode / host io)")
     args = parser.parse_args(argv)
     if args.reference_pe and (args.int8 or args.rollout == "cached"):
         parser.error("--reference_pe is the full-forward compat path "
@@ -308,9 +315,12 @@ def main(argv=None):
     dataset = build_dataset(cfg, args, "test" if args.mode != "train" else "train")
     n_clips = min(len(dataset), args.max_clips)
     n_done = 0
+    stage_s = {"data": 0.0, "predict": 0.0, "decode": 0.0, "io": 0.0}
+    t_start = time.perf_counter()
     # Serving path: clips are batched through ONE jitted rollout program
     # (the reference looped batch_size=1 — prediction/predict.py:58).
     for start in range(0, n_clips, args.batch_clips):
+        t0 = time.perf_counter()
         idxs = range(start, min(start + args.batch_clips, n_clips))
         items = [dataset[i] for i in idxs]
         frames = jnp.asarray(np.stack([it[1] for it in items]))
@@ -319,7 +329,10 @@ def main(argv=None):
             labels = [int(it[0][0]) if isinstance(it[0], (list, tuple)) else 0
                       for it in items]
             text_embeds = embedder(jnp.asarray(labels, jnp.int32))
+        t1 = time.perf_counter()
         context, preds = predict(params, frames, text_embeds)
+        preds = jax.block_until_ready(preds)
+        t2 = time.perf_counter()
         # sequence layout matching the reference output: context minus last
         # frame, then predictions (prediction/predict.py:193)
         all_latents = jnp.concatenate([context[:, :-1], preds], axis=1)
@@ -327,6 +340,7 @@ def main(argv=None):
         T_out = all_latents.shape[1]
         imgs = np.asarray(codec.decode_latents(
             all_latents.reshape(-1, codec.latent_dim)))
+        t3 = time.perf_counter()
         for b in range(len(items)):
             clip_imgs = imgs[b * T_out:(b + 1) * T_out]
             if args.save_output:
@@ -335,7 +349,18 @@ def main(argv=None):
             if args.show:
                 show_frames(clip_imgs, is_pred, args.fullscreen)
             n_done += 1
+        t4 = time.perf_counter()
+        stage_s["data"] += t1 - t0
+        stage_s["predict"] += t2 - t1
+        stage_s["decode"] += t3 - t2
+        stage_s["io"] += t4 - t3
     print(f"predicted {args.pred_frames} frames for {n_done} clips")
+    if args.timing:
+        print(json.dumps({
+            "stage_s": {k: round(v, 3) for k, v in stage_s.items()},
+            "total_s": round(time.perf_counter() - t_start, 3),
+            "clips": n_done, "pred_frames_per_clip": args.pred_frames,
+            "note": "predict includes jit compile on the first batch"}))
 
 
 if __name__ == "__main__":
