@@ -437,7 +437,13 @@ def main():
 
     if not results:
         raise SystemExit(f"no scenario matched SDVG_BENCH_SCENARIOS={ONLY}")
-    primary = results.get("vae_denoise_ar4") or next(iter(results.values()))
+    # Primary = per-chip THROUGHPUT of the north-star pipeline, i.e. the
+    # measured multi-stream saturation point — consistent with every other
+    # scenario (pixel/vae serve at their own knees, B=256/32). The
+    # single-stream latency point stays reported alongside.
+    primary = (results.get("vae_denoise_ar4_8streams")
+               or results.get("vae_denoise_ar4")
+               or next(iter(results.values())))
     print(json.dumps({
         "metric": "generated_frames_per_sec_64px_vae_denoise10_ar",
         "value": primary["value"],
