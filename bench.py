@@ -382,12 +382,13 @@ def scenario_train(batch: int = 6, precision: str = "f32"):
 
 def scenario_train_tuned():
     """clips/sec at the measured TPU-efficient operating point
-    (tools/bench_knee.py sweep: clips/s still rising at batch 96 —
-    384 -> 1292 -> 1941 -> 2653 for b6/24/48/96 under bf16_full), vs the
+    (tools/bench_knee.py sweep under bf16_full: 384 -> 1292 -> 1941 ->
+    2653 -> 2958 -> 3059 -> 3239 -> 3184 clips/s for
+    b6/24/48/96/144/192/288/384 — the knee is b288, MFU 0.45), vs the
     reference's (batch 6, f32) 3090 estimate of ~60 clips/s. Reported in
     clips/sec because the tuned point changes the batch; steps/sec would
     not be comparable."""
-    batch = int(os.environ.get("SDVG_BENCH_TRAIN_TUNED_BATCH", 96))
+    batch = int(os.environ.get("SDVG_BENCH_TRAIN_TUNED_BATCH", 288))
     steps_per_s, _ = scenario_train(batch=batch, precision="bf16_full")
     return steps_per_s * batch, "clips/sec/chip"
 

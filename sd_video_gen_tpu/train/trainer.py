@@ -29,6 +29,7 @@ TPU-first design vs the reference hot loop (SURVEY.md §3.1):
 from __future__ import annotations
 
 import os
+import warnings
 from functools import partial
 
 import jax
@@ -335,16 +336,38 @@ class Trainer:
         return {f"{'L1' if k == 'l1' else k}_val": float(v)
                 for k, v in means.items()}
 
-    def fvd_validation(self, loader, i3d, i3d_params, max_batches: int = 8):
+    def fvd_validation(self, loader, i3d, i3d_params, max_batches: int = 8,
+                       protocol: str = "last_k"):
         """In-training FVD on teacher-forced predictions.
 
         Reference: trainers/trainer_fvd.py:253-285 — every few epochs the
         validation decodes predicted latents to pixels, resizes to 224 and
         streams GT + predictions through I3D into FeatureStats.
+
+        ``protocol`` selects which frames enter the statistics:
+          - ``last_k``: the k predicted frames vs the last-k GT frames
+            (cheapest; the r2 default, documented deviation in PARITY.md).
+          - ``reference``: the reference's full-clip streaming — teacher-
+            forced predictions at EVERY position vs the FULL GT clip
+            (trainers/trainer_fvd.py:253-273 streams the whole ``batch``
+            into the GT stats and the whole ``pred`` into the generated
+            stats). T-frame clips yield T one-step predictions (the SOS
+            token anchors position 0), so both streams carry T frames.
+        Only ``ar``/``diff``/``text`` define full-sequence teacher forcing;
+        ``future``/``learned_tgt`` emit exactly k frames, so ``reference``
+        falls back to ``last_k`` there with a warning.
         """
         from sd_video_gen_tpu.evaluation.fvd import (FeatureStats, compute_fvd,
                                                      preprocess_videos)
         k = self.cfg.frames_to_predict
+        if protocol not in ("last_k", "reference"):
+            raise ValueError(f"unknown fvd protocol {protocol!r}")
+        if protocol == "reference" and self.mode in ("future", "learned_tgt"):
+            warnings.warn(
+                f"fvd protocol 'reference' undefined for mode={self.mode} "
+                "(single-shot models emit exactly k frames); using last_k",
+                stacklevel=2)
+            protocol = "last_k"
 
         def pad_time(v, min_t: int = 9):
             # The I3D graph needs T >= 9: its temporal pool chain collapses
@@ -367,17 +390,31 @@ class Trainer:
                                             self.mode not in
                                             ("future", "learned_tgt"),
                                             cparams)
-            pred_k, _ = _predictions_and_targets(
-                self.model, params, latents, k, self.mode, rngs=None,
-                deterministic=True)
-            B = pred_k.shape[0]
-            flat = pred_k.reshape(B * k, self.codec.latent_dim)
+            if protocol == "reference":
+                # full-clip streaming: one-step predictions at every
+                # position (SOS anchors position 0 -> T preds for T frames)
+                # vs the whole GT clip, as trainer_fvd.py:253-273 does.
+                y_in = latents[:, :-1]
+                pred = self.model.apply(
+                    params, latents, y_in,
+                    tgt_mask=causal_mask(y_in.shape[1]), deterministic=True)
+                if self.mode == "diff":
+                    # residual parameterization adds the previous-frame
+                    # latent at every step (trainers/trainer_diff.py:140-142)
+                    pred = pred + y_in
+                real = frames
+            else:
+                pred, _ = _predictions_and_targets(
+                    self.model, params, latents, k, self.mode, rngs=None,
+                    deterministic=True)
+                real = frames[:, -k:]
+            B, T = pred.shape[:2]
+            flat = pred.reshape(B * T, self.codec.latent_dim)
             dec = (self.codec.decode_latents(flat, params=cparams)
                    if cparams is not None else self.codec.decode_latents(flat))
-            dec = dec.reshape(B, k, *dec.shape[1:])
+            dec = dec.reshape(B, T, *dec.shape[1:])
             f_gen = i3d.apply(i3d_p, preprocess_videos(pad_time(dec)))
-            f_real = i3d.apply(i3d_p,
-                               preprocess_videos(pad_time(frames[:, -k:])))
+            f_real = i3d.apply(i3d_p, preprocess_videos(pad_time(real)))
             # fold the streaming-stats contributions into the SAME jit:
             # eager FeatureStats.append per batch costs a remote-compile
             # round trip per op on the dev tunnel
@@ -402,7 +439,7 @@ class Trainer:
 
     def fit(self, train_loader, val_loader, epochs: int, seed: int = 0,
             save_best: bool = False, fvd_every: int = 0, fvd_i3d=None,
-            ckpt_every: int = 1):
+            ckpt_every: int = 1, fvd_protocol: str = "last_k"):
         rng = jax.random.PRNGKey(seed)
         if self.state is None:
             indices, frames = next(iter(train_loader))
@@ -418,8 +455,8 @@ class Trainer:
                 # periodic in-training FVD (trainer_fvd.py:500 epoch%5==1 gate)
                 if fvd_every and fvd_i3d is not None and (
                         fvd_every == 1 or epoch % fvd_every == 1):
-                    metrics["FVD score"] = self.fvd_validation(val_loader,
-                                                               *fvd_i3d)
+                    metrics["FVD score"] = self.fvd_validation(
+                        val_loader, *fvd_i3d, protocol=fvd_protocol)
                 self.logger.log(metrics, step=int(self.state.step))
                 history.append(metrics)
                 # --ckpt_every: a full-TrainState save moves params + Adam
@@ -504,6 +541,11 @@ def main(argv=None):
     parser.add_argument("--fvd_every", type=int, default=0,
                         help="compute FVD every N epochs (trainer_fvd mode)")
     parser.add_argument("--i3d_weights", type=str, default=None)
+    parser.add_argument("--fvd_protocol", type=str, default="last_k",
+                        choices=("last_k", "reference"),
+                        help="in-training FVD frame selection: last_k "
+                             "(k preds vs last-k GT) or reference "
+                             "(full-clip streaming, trainer_fvd.py:253-273)")
     parser.add_argument("--latent_cache", type=str, default=None,
                         help="train from a utils/preprocess.py latent cache "
                              "dir instead of decoding frames")
@@ -592,7 +634,8 @@ def main(argv=None):
         trainer.fit(train_loader, val_loader, epochs=cfg.epochs,
                     seed=args.seed, save_best=args.save_best,
                     fvd_every=args.fvd_every, fvd_i3d=fvd_i3d,
-                    ckpt_every=args.ckpt_every)
+                    ckpt_every=args.ckpt_every,
+                    fvd_protocol=args.fvd_protocol)
         trainer.logger.close()
 
 

@@ -43,3 +43,13 @@ def test_fvd_validation_short_clips(tmp_path):
     # k=2 (<9 frame minimum) works via temporal padding; score is finite
     assert "FVD score" in hist[0]
     assert np.isfinite(hist[0]["FVD score"])
+
+    # Reference full-clip protocol (trainer_fvd.py:253-273): teacher-forced
+    # predictions at every position vs the whole GT clip. Scores must be
+    # finite and generally differ from the last_k protocol (different
+    # frame statistics enter the Frechet computation).
+    ref = trainer.fvd_validation(vl, i3d, i3d_params, protocol="reference")
+    assert np.isfinite(ref)
+    lk = trainer.fvd_validation(vl, i3d, i3d_params, protocol="last_k")
+    assert np.isfinite(lk)
+    assert ref != lk
