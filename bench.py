@@ -297,9 +297,9 @@ def _flagship_train_flops(batch, t_src, t_tgt, d=2048, dff=2048,
     return 3.0 * (fwd + attn)
 
 
-# v5e peak: 197 TFLOP/s bf16 (394 int8); HBM ~819 GB/s
-V5E_PEAK_BF16 = 197e12
-V5E_HBM_GBS = 819.0
+# v5e peaks (197 TFLOP/s bf16, HBM ~819 GB/s) live in the shared harness so
+# a correction lands in every roofline/probe tool at once
+from tools._bench_harness import V5E_PEAK_BF16, V5E_HBM_GBS  # noqa: E402
 
 
 def scenario_train(batch: int = 6, precision: str = "f32"):
@@ -374,7 +374,10 @@ def scenario_train(batch: int = 6, precision: str = "f32"):
     print(json.dumps({
         "info": f"train_b{bsz}_{precision}",
         "clips_per_s": round(steps_per_s * bsz, 1),
-        "mfu": round(flops * steps_per_s / V5E_PEAK_BF16, 4),
+        # normalized to the bf16 peak for EVERY precision (XLA computes
+        # f32-param matmuls via bf16 passes on TPU by default, and a single
+        # denominator keeps sweep points comparable) — hence the explicit key
+        "mfu_bf16_peak": round(flops * steps_per_s / V5E_PEAK_BF16, 4),
         "hbm_util_est": round(step_bytes * steps_per_s / (V5E_HBM_GBS * 1e9),
                               3)}), flush=True)
     return steps_per_s, "steps/sec/chip"

@@ -52,10 +52,21 @@ class BatchLoader:
                     f"across {pcount} processes")
             if not (0 <= pid < pcount):
                 raise ValueError(f"process_shard index {pid} out of range")
+            mult = max(shard_multiple or 0, pcount)
+            if batch_size % mult:
+                # refuse loudly: trimming every FULL batch to a multiple of
+                # the mesh requirement would silently drop clips (or yield
+                # empty epochs when batch_size < mult)
+                raise ValueError(
+                    f"global batch_size {batch_size} must be a multiple of "
+                    f"shard_multiple {mult} (the mesh batch-axis "
+                    "requirement) — every batch must shard evenly")
         self.process_shard = process_shard
         # ragged (short) batches are trimmed to a multiple of this so the
         # global batch stays shardable over the whole device mesh (the
-        # trainer passes jax.device_count()); defaults to pcount.
+        # trainer passes the mesh's data-axis requirement); defaults to
+        # pcount. Full batches are never trimmed — the ctor check above
+        # guarantees batch_size divides evenly.
         self.shard_multiple = (shard_multiple if shard_multiple is not None
                                else (process_shard[1] if process_shard
                                      else None))
@@ -75,11 +86,15 @@ class BatchLoader:
 
     def __len__(self) -> int:
         take = max(1, int(len(self.dataset) * self.epoch_ratio))
-        if self.drop_last and take >= self.batch_size:
-            return take // self.batch_size
-        # fewer clips than one batch: still yield the short batch instead of
-        # a silent empty epoch
-        return (take + self.batch_size - 1) // self.batch_size
+        mult = (max(self.shard_multiple, self.process_shard[1])
+                if self.process_shard is not None else 1)
+        nfull, rem = divmod(take, self.batch_size)
+        if nfull and self.drop_last:
+            return nfull
+        # ragged batches survive sharding only if they trim to a non-zero
+        # mesh-shardable size (__iter__ applies the same rule)
+        ragged = rem if nfull else take
+        return nfull + (1 if (ragged // mult) * mult else 0)
 
     def _assemble(self, idxs: Sequence[int]):
         items = [self.dataset[int(i)] for i in idxs]

@@ -70,15 +70,23 @@ def restore_checkpoint(path: str, abstract_state):
     (saved by early v2 builds) restores normally.
     """
     path = os.path.abspath(path)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no checkpoint directory at {path}")
     if read_format_version(path) >= FORMAT_VERSION:
         with ocp.StandardCheckpointer() as ckptr:
             return ckptr.restore(path, abstract_state)
-    # unstamped: try the current structure first, then the v1 migration
+    # unstamped: try the current structure first, then the v1 migration.
+    # If the v1-shaped restore ALSO fails, the checkpoint was never a v1
+    # tree (wrong --config, corruption, ...) — surface the ORIGINAL error
+    # rather than a misleading 'migrating v1' story.
     try:
         with ocp.StandardCheckpointer() as ckptr:
             return ckptr.restore(path, abstract_state)
-    except Exception:
-        return _restore_v1(path, abstract_state)
+    except Exception as current_err:
+        try:
+            return _restore_v1(path, abstract_state)
+        except Exception:
+            raise current_err
 
 
 def abstract_like(state):
@@ -133,6 +141,14 @@ def _fill(restored, abstract, in_params: bool, names=_V2_NEW_PARAMS):
 def _restore_v1(path: str, abstract_state):
     """Restore a pre-versioning TrainState checkpoint missing the final
     stack norms; fill them with identity LN + fresh moments."""
+    old_abstract = abstract_state.replace(
+        params=_strip(abstract_state.params),
+        opt_state=_strip(abstract_state.opt_state))
+    with ocp.StandardCheckpointer() as ckptr:
+        old = ckptr.restore(path, old_abstract)
+    # warn only once the v1-shaped restore actually succeeded — a failure
+    # here means the checkpoint was never v1 and the caller surfaces the
+    # original current-structure error instead
     warnings.warn(
         f"checkpoint {path} is format v1 (predates the transformer's final "
         "stack norms): migrating by initializing enc_norm/dec_norm to "
@@ -140,11 +156,6 @@ def _restore_v1(path: str, abstract_state):
         "no final LayerNorm, so the migrated forward is approximate — "
         "fine-tune or re-convert from a reference .pt for exactness.",
         stacklevel=2)
-    old_abstract = abstract_state.replace(
-        params=_strip(abstract_state.params),
-        opt_state=_strip(abstract_state.opt_state))
-    with ocp.StandardCheckpointer() as ckptr:
-        old = ckptr.restore(path, old_abstract)
     return abstract_state.replace(
         step=old.step,
         params=_fill(old.params, abstract_state.params, in_params=True),

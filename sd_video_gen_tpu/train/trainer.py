@@ -28,6 +28,7 @@ TPU-first design vs the reference hot loop (SURVEY.md §3.1):
 
 from __future__ import annotations
 
+import math
 import os
 import warnings
 from functools import partial
@@ -385,11 +386,13 @@ class Trainer:
         codec_params = getattr(self.codec, "params", None)
 
         @jax.jit
-        def fvd_batch(params, cparams, i3d_p, frames):
+        def fvd_batch(params, cparams, i3d_p, frames, text_embeds):
             latents = encode_or_passthrough(self.codec, frames,
                                             self.mode not in
                                             ("future", "learned_tgt"),
                                             cparams)
+            kwargs = ({"text_embeds": text_embeds}
+                      if text_embeds is not None else {})
             if protocol == "reference":
                 # full-clip streaming: one-step predictions at every
                 # position (SOS anchors position 0 -> T preds for T frames)
@@ -397,7 +400,8 @@ class Trainer:
                 y_in = latents[:, :-1]
                 pred = self.model.apply(
                     params, latents, y_in,
-                    tgt_mask=causal_mask(y_in.shape[1]), deterministic=True)
+                    tgt_mask=causal_mask(y_in.shape[1]), deterministic=True,
+                    **kwargs)
                 if self.mode == "diff":
                     # residual parameterization adds the previous-frame
                     # latent at every step (trainers/trainer_diff.py:140-142)
@@ -406,7 +410,7 @@ class Trainer:
             else:
                 pred, _ = _predictions_and_targets(
                     self.model, params, latents, k, self.mode, rngs=None,
-                    deterministic=True)
+                    text_embeds=text_embeds, deterministic=True)
                 real = frames[:, -k:]
             B, T = pred.shape[:2]
             flat = pred.reshape(B * T, self.codec.latent_dim)
@@ -425,14 +429,21 @@ class Trainer:
         n = 0
         acc = [np.zeros(400), np.zeros((400, 400)),
                np.zeros(400), np.zeros((400, 400))]
-        for bi, (_, frames) in enumerate(loader):
+        for bi, (indices, frames) in enumerate(loader):
             if bi >= max_batches:
                 break
+            gb = self._put_batch(frames)
+            te = self._texts(indices)
+            if te is not None:
+                te = self._put_batch(np.asarray(te))
             out = fvd_batch(self.state.params, codec_params,
-                            i3d_params, self._put_batch(frames))
+                            i3d_params, gb, te)
             for a, o in zip(acc, out):
                 a += np.asarray(o, np.float64)
-            n += len(frames)
+            # the assembled batch is GLOBAL under --multihost (every
+            # process's shard); count its full leading dim, not the local
+            # slice, or the Frechet means inflate by process_count
+            n += int(gb.shape[0])
         st_r = FeatureStats(400, np.float64(n), acc[0], acc[1])
         st_g = FeatureStats(400, np.float64(n), acc[2], acc[3])
         return compute_fvd(st_r, st_g)
@@ -462,8 +473,13 @@ class Trainer:
                 # --ckpt_every: a full-TrainState save moves params + Adam
                 # state (GBs at flagship scale); epoch-granular saving is a
                 # reference behavior worth rate-limiting on slow links.
-                # The final epoch always saves.
-                if epoch % max(ckpt_every, 1) == 0 or epoch == epochs:
+                # The final epoch always saves. save_best must see EVERY
+                # epoch's metrics (it already rate-limits itself by writing
+                # only on improvement) — gating it on ckpt_every would
+                # silently skip the true best epoch and let a later, worse
+                # epoch claim the 'best' checkpoint.
+                if save_best or epoch % max(ckpt_every, 1) == 0 \
+                        or epoch == epochs:
                     self._save(metrics, save_best)
         except (KeyboardInterrupt, SystemExit, Exception) as e:
             # failure/preemption handling: persist an emergency checkpoint
@@ -554,7 +570,9 @@ def main(argv=None):
                              "data/native_loader.py frame cache dir")
     parser.add_argument("--ckpt_every", type=int, default=1,
                         help="checkpoint every N epochs (final epoch always "
-                             "saves; a flagship TrainState save moves GBs)")
+                             "saves; a flagship TrainState save moves GBs). "
+                             "--save_best True ignores this: best-mode "
+                             "writes only on improvement already")
     parser.add_argument("--precision", type=str, default="f32",
                         choices=["f32", "bf16", "bf16_full"],
                         help="f32 | bf16 (bf16 compute, f32 master weights) "
@@ -614,7 +632,12 @@ def main(argv=None):
                 val_ds = build_dataset(cfg, args, "test")
             shard = ((jax.process_index(), jax.process_count())
                      if jax.process_count() > 1 else None)
-            mult = jax.device_count() if shard else None
+            # batches shard over the mesh's DATA axis only (batch_sharding),
+            # so that — not total device count — is the divisibility
+            # requirement (data=2,model=4 on 8 devices needs multiples of 2,
+            # not 8); lcm with process count keeps per-process slices even
+            mult = (math.lcm(trainer.mesh.shape.get("data", 1), shard[1])
+                    if shard else None)
             train_loader = BatchLoader(train_ds, cfg.batch_size,
                                        epoch_ratio=cfg.epoch_ratio,
                                        seed=args.seed, process_shard=shard,

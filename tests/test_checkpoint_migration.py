@@ -100,3 +100,43 @@ def test_v1_checkpoint_migrates_with_identity_norms(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored.opt_state[0].mu["params"]["embedding"]["kernel"]),
         np.asarray(state.opt_state[0].mu["params"]["embedding"]["kernel"]))
+
+
+def test_missing_path_raises_filenotfound(tmp_path):
+    state = _tiny_state()
+    with pytest.raises(FileNotFoundError):
+        ckpt.restore_checkpoint(str(tmp_path / "nope"),
+                                ckpt.abstract_like(state))
+
+
+def test_wrong_structure_surfaces_original_error(tmp_path):
+    """An unstamped checkpoint that is NOT v1 (e.g. saved under a different
+    --config) must raise the real structure error — not emit a misleading
+    'format v1 ... migrating' warning on the way to a second failure."""
+    import warnings as _w
+    state = _tiny_state()
+    # save a checkpoint of a genuinely different model (dim 64 vs 32)
+    cfg = Config(config_name="wide", lr=1e-3, batch_size=2,
+                 frames_per_clip=5, frames_to_predict=2, frame_size=16,
+                 dim_model=64, num_heads=4, num_encoder_layers=2,
+                 num_decoder_layers=2, dropout_p=0.0, use_mse=True)
+    codec = PixelCodec(cfg.frame_size)
+    model = FrameTransformer(FrameTransformerConfig(
+        latent_dim=codec.latent_dim, dim_model=64, num_heads=4,
+        num_encoder_layers=2, num_decoder_layers=2, dropout_p=0.0))
+    init_fn, _ = make_train_step(model, codec, LossWeights.from_config(cfg),
+                                 cfg)
+    frames = np.random.default_rng(0).integers(
+        0, 255, (2, 7, 16, 16, 3)).astype(np.uint8)
+    other = init_fn(jax.random.PRNGKey(0), jnp.asarray(frames))
+    path = str(tmp_path / "ck")
+    ckpt.save_checkpoint(path, other)
+    os.remove(os.path.join(path, "sdvg_format.json"))  # make it unstamped
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        with pytest.raises(Exception) as ei:
+            ckpt.restore_checkpoint(path, ckpt.abstract_like(state))
+    assert not any("format v1" in str(r.message) for r in rec), \
+        "misleading v1-migration warning fired for a non-v1 checkpoint"
+    assert "v1" not in str(ei.value)

@@ -120,3 +120,33 @@ def test_kitti_center_crop(tmp_path):
     assert frames.shape == (3, 16, 16, 3)
     # center square of a 30x90 image is the gray middle band
     assert abs(int(frames[0, 8, 8, 0]) - 128) <= 1
+
+
+def test_batchloader_rejects_unshardable_batch_size():
+    """A global batch that cannot shard evenly over the mesh requirement
+    must be refused loudly, not trimmed silently (trimming a FULL batch
+    drops clips; batch_size < shard_multiple would yield empty epochs)."""
+    import pytest
+    ds = [(i, np.zeros((5, 4, 4, 3), np.uint8)) for i in range(20)]
+    with pytest.raises(ValueError, match="multiple of shard_multiple"):
+        BatchLoader(ds, 6, process_shard=(0, 2), shard_multiple=8, seed=0)
+    # divisible: fine
+    BatchLoader(ds, 8, process_shard=(0, 2), shard_multiple=8, seed=0)
+
+
+def test_batchloader_len_matches_iter_under_sharding():
+    """len(loader) must count exactly the batches __iter__ yields,
+    including the ragged short-batch trim rule."""
+    ds = [(i, np.zeros((5, 4, 4, 3), np.uint8)) for i in range(5)]
+    # 5 clips, batch 8 (> dataset): short batch of 5 trims to 4 (mult 4)
+    ld = BatchLoader(ds, 8, process_shard=(0, 2), shard_multiple=4, seed=0)
+    batches = list(ld)
+    assert len(ld) == len(batches) == 1
+    assert batches[0][1].shape[0] == 2  # local slice: 4 global / 2 procs
+    # 3 clips, mult 4: trims to zero -> empty epoch, len agrees
+    ld = BatchLoader(ds[:3], 8, process_shard=(0, 2), shard_multiple=4,
+                     seed=0)
+    assert len(ld) == len(list(ld)) == 0
+    # unsharded short batch unchanged: one short batch
+    ld = BatchLoader(ds[:3], 8, seed=0)
+    assert len(ld) == len(list(ld)) == 1

@@ -179,3 +179,29 @@ def test_precision_bf16_variants(tmp_path):
         assert mu.dtype == mudtype, precision
         # losses are finite and f32 regardless of compute dtype
         assert np.isfinite(hist[-1]["train_loss"])
+
+
+def test_save_best_not_gated_by_ckpt_every(tmp_path, monkeypatch):
+    """--save_best must see EVERY epoch's metrics: gating it on --ckpt_every
+    would let the true best epoch pass unsaved and a later, worse epoch
+    claim the 'best' checkpoint."""
+    root = generate_bouncing_ball_tree(str(tmp_path / "data"), n_train_seqs=2,
+                                       n_test_seqs=1, frames_per_seq=10,
+                                       size=32)
+    cfg = _tiny_cfg()
+    mesh = make_mesh("data=1,model=1", devices=jax.devices()[:1])
+    trainer = Trainer(cfg, mode="ar", mesh=mesh,
+                      checkpoint_dir=str(tmp_path / "ckpt"), use_wandb=False)
+    tr = BatchLoader(BouncingBallDataset(5, 1, root, "train"), 2, seed=1)
+
+    calls = []
+    monkeypatch.setattr(trainer, "_save",
+                        lambda metrics, save_best: calls.append(save_best))
+    trainer.fit(tr, tr, epochs=3, save_best=True, ckpt_every=5)
+    assert len(calls) == 3  # every epoch, despite ckpt_every=5
+
+    # save-last mode stays rate-limited: only the final epoch saves
+    calls.clear()
+    trainer.state = None
+    trainer.fit(tr, tr, epochs=3, save_best=False, ckpt_every=5)
+    assert len(calls) == 1

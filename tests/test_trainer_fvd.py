@@ -53,3 +53,35 @@ def test_fvd_validation_short_clips(tmp_path):
     lk = trainer.fvd_validation(vl, i3d, i3d_params, protocol="last_k")
     assert np.isfinite(lk)
     assert ref != lk
+
+
+def test_fvd_validation_text_mode(tmp_path):
+    """Text-conditioned models must get their text embeddings inside the
+    FVD hook too (regression: fvd_batch called the model without
+    text_embeds and FrameTransformer raised inside the jit trace)."""
+    root = generate_bouncing_ball_tree(str(tmp_path / "d"), 2, 2, 10, 32)
+    cfg = Config(config_name="fvdtext", lr=1e-3, batch_size=2, epochs=1,
+                 frames_per_clip=5, frames_to_predict=2, frame_size=32,
+                 dim_model=32, num_heads=4, num_encoder_layers=1,
+                 num_decoder_layers=1, dropout_p=0.0, use_contrastive=False)
+    mesh = make_mesh("data=1,model=1", devices=jax.devices()[:1])
+    trainer = Trainer(cfg, mode="text", mesh=mesh, num_classes=16,
+                      checkpoint_dir=str(tmp_path / "ckpt"), use_wandb=False)
+    vl = BatchLoader(BouncingBallDataset(5, 1, root, "test"), 2, seed=1)
+
+    import flax.linen as nn
+
+    class StubI3D(nn.Module):
+        @nn.compact
+        def __call__(self, videos):
+            return nn.Dense(400)(videos.mean(axis=(1, 2, 3)))
+
+    i3d = StubI3D()
+    i3d_params = i3d.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 9, 224, 224, 3)))
+    indices, frames = next(iter(vl))
+    trainer.init_state(frames, 0, trainer._texts(indices))
+    for protocol in ("last_k", "reference"):
+        score = trainer.fvd_validation(vl, i3d, i3d_params,
+                                       protocol=protocol)
+        assert np.isfinite(score)

@@ -20,7 +20,6 @@ Usage: python tools/bench_attn_int8_probe.py
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
@@ -32,30 +31,13 @@ from sd_video_gen_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 BH, T = 16, 4096
-REP = 4
+from tools._bench_harness import measure as _measure
 
 
-def measure(fn, *args, rep=REP):
-    """Chained distinct-input invocations inside one jit (bench_op_floor2
-    pattern): marginal per-op cost, immune to the ~50ms tunnel dispatch."""
-    x0 = args[0]
-    xs = jnp.stack([jnp.roll(x0, i, axis=1) for i in range(rep)])
-
-    @jax.jit
-    def chained(xs, *rest):
-        def body(acc, xi):
-            r = fn(xi, *rest)
-            return acc + jnp.sum(r.astype(jnp.float32)), ()
-        acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
-        return acc
-
-    _ = float(chained(xs, *args[1:]))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(chained(xs, *args[1:]))
-        best = min(best, time.perf_counter() - t0)
-    return best / rep
+def measure(fn, *args, rep=4):
+    """Chained distinct-input invocations inside one jit; roll-
+    perturbed so int8 inputs stay exact (tools/_bench_harness)."""
+    return _measure(fn, *args, rep=rep, perturb='roll')
 
 
 def qk_case(hd, dtype, acc_dtype):

@@ -22,41 +22,11 @@ import jax.numpy as jnp
 from sd_video_gen_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
-REP = 200
+from tools._bench_harness import timeit as _timeit
 
 
 def timeit(name, fn, *args):
-    @jax.jit
-    def chained(*args):
-        def body(acc, i):
-            r = fn(*args)
-            # data dependence: fold acc into nothing the conv sees is fine —
-            # inputs differ per iteration via the index multiply below
-            return acc + jnp.sum(r.astype(jnp.float32)) * (i + 1), ()
-        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(REP))
-        return acc
-
-    # NB: identical per-iteration calls DO get CSE'd; vary the input instead.
-    @jax.jit
-    def chained_varied(x, *rest):
-        def body(carry, i):
-            delta = (i + carry.astype(jnp.int32) * 0).astype(x.dtype)
-            xi = x.at[(0,) * x.ndim].add(delta)
-            r = fn(xi, *rest)
-            return jnp.sum(r.astype(jnp.float32)), ()
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                              jnp.arange(REP, dtype=jnp.int32))
-        return acc
-
-    _ = float(chained_varied(*args))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(chained_varied(*args))
-        best = min(best, time.perf_counter() - t0)
-    print(json.dumps({"case": name, "us": round(best / REP * 1e6, 1)}),
-          flush=True)
-    return best / REP
+    return _timeit(name, fn, *args, rep=200)
 
 
 def conv(x, w):

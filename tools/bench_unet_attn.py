@@ -25,28 +25,11 @@ import jax.numpy as jnp
 from sd_video_gen_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
-REP = 6
+from tools._bench_harness import measure as _measure
 
 
-def measure(fn, *args, rep=REP):
-    x0 = args[0]
-    xs = jnp.stack([x0 + (i % 3) * 1e-3 for i in range(rep)])
-
-    @jax.jit
-    def chained(xs, *rest):
-        def body(acc, xi):
-            r = fn(xi, *rest)
-            return acc + jnp.sum(r.astype(jnp.float32)), ()
-        acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
-        return acc
-
-    _ = float(chained(xs, *args[1:]))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(chained(xs, *args[1:]))
-        best = min(best, time.perf_counter() - t0)
-    return best / rep
+def measure(fn, *args, rep=6):
+    return _measure(fn, *args, rep=rep)
 
 
 def bench_unet(B=8):

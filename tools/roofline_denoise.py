@@ -23,42 +23,7 @@ import jax.numpy as jnp
 from sd_video_gen_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
-V5E_PEAK_BF16 = 197e12
-REP = 6
-
-
-def measure(fn, *args):
-    """CSE-proof: scan over REP distinct first-args; scalar-fetch sync."""
-    x0 = args[0]
-    xs = jnp.stack([x0 + (i % 3) * 1e-3 for i in range(REP)])
-
-    @jax.jit
-    def chained(xs, *rest):
-        def body(acc, xi):
-            r = fn(xi, *rest)
-            return acc + jnp.sum(r.astype(jnp.float32)), ()
-        acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
-        return acc
-
-    _ = float(chained(xs, *args[1:]))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(chained(xs, *args[1:]))
-        best = min(best, time.perf_counter() - t0)
-    return best / REP
-
-
-def flops_of(fn, *args):
-    try:
-        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        return float(cost.get("flops", float("nan")))
-    except Exception as e:  # noqa: BLE001
-        print(json.dumps({"warn": f"cost_analysis failed: {e}"[:160]}),
-              flush=True)
-        return float("nan")
+from tools._bench_harness import (V5E_PEAK_BF16, flops_of, measure)
 
 
 def main():

@@ -29,48 +29,7 @@ import optax
 from sd_video_gen_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
-V5E_PEAK_BF16 = 197e12
-REP = 6
-
-
-def measure(fn, *args):
-    """CSE-proof: scan over REP perturbed copies of the first arg (pytree-ok);
-    scalar-fetch sync so the tunnel RPC is outside the timed region."""
-    x0 = args[0]
-    xs = jax.tree.map(
-        lambda a: jnp.stack([a + jnp.asarray((i % 3) * 1e-3, a.dtype)
-                             if jnp.issubdtype(a.dtype, jnp.floating)
-                             else a for i in range(REP)]), x0)
-
-    @jax.jit
-    def chained(xs, *rest):
-        def body(acc, xi):
-            r = fn(xi, *rest)
-            leaves = [jnp.sum(l.astype(jnp.float32))
-                      for l in jax.tree.leaves(r)]
-            return acc + sum(leaves), ()
-        acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
-        return acc
-
-    _ = float(chained(xs, *args[1:]))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(chained(xs, *args[1:]))
-        best = min(best, time.perf_counter() - t0)
-    return best / REP
-
-
-def flops_of(fn, *args):
-    try:
-        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        return float(cost.get("flops", float("nan")))
-    except Exception as e:  # noqa: BLE001
-        print(json.dumps({"warn": f"cost_analysis failed: {e}"[:160]}),
-              flush=True)
-        return float("nan")
+from tools._bench_harness import (V5E_PEAK_BF16, flops_of, measure)
 
 
 def main():
