@@ -13,6 +13,7 @@ import argparse
 import dataclasses
 import itertools
 import os
+import warnings
 from typing import Any, Sequence
 
 import yaml
@@ -134,9 +135,26 @@ def _find_config_path(config_name: str, config_dir: str | None) -> str:
 
 
 def load_raw_config(config_name: str, config_dir: str | None = None) -> dict:
-    """Load the raw YAML dict (values kept as lists — the sweep grid)."""
+    """Load the raw YAML dict (values kept as lists — the sweep grid).
+
+    Keys outside the reference schema (utils/config.py uses UPPERCASE names)
+    warn loudly: silently ignoring them means e.g. a lowercase ``dim_model:``
+    falls back to the 2048-wide flagship default and the user trains a 437M
+    model without asking for it.
+    """
     with open(_find_config_path(config_name, config_dir)) as f:
         data = yaml.safe_load(f)
+    unknown = [k for k in data if k not in _YAML_KEYS]
+    if unknown:
+        hint = ""
+        lowered = [k for k in unknown if k.upper() in _YAML_KEYS]
+        if lowered:
+            hint = (f" (did you mean {', '.join(k.upper() for k in lowered)}?"
+                    " — the reference schema is UPPERCASE)")
+        warnings.warn(
+            f"config '{config_name}': ignoring unrecognized keys "
+            f"{unknown}{hint}; unmatched fields keep their defaults",
+            stacklevel=2)
     return data
 
 

@@ -122,3 +122,29 @@ def test_full_reference_config_corpus():
         assert isinstance(cfg.batch_size, int) and cfg.batch_size >= 1
         assert isinstance(cfg.frame_size, int) and cfg.frame_size in (64, 128)
         assert cfg.dim_model % cfg.num_heads == 0
+
+
+def test_unknown_yaml_keys_warn(tmp_path):
+    """Keys outside the reference UPPERCASE schema must warn, not silently
+    fall back to flagship defaults (a lowercase 'dim_model:' otherwise
+    trains the 2048-wide model unasked)."""
+    import warnings
+
+    from sd_video_gen_tpu.config import load_config
+
+    (tmp_path / "oops.yml").write_text(
+        "dim_model:\n - 32\nBATCH_SIZE:\n - 2\n")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        cfg = load_config("oops", str(tmp_path))
+    msgs = [str(r.message) for r in rec]
+    assert any("dim_model" in m and "DIM_MODEL" in m for m in msgs)
+    assert cfg.batch_size == 2          # recognized key applied
+    assert cfg.dim_model == 2048        # unmatched key kept the default
+
+    # a fully reference-schema file stays silent
+    (tmp_path / "clean.yml").write_text("DIM_MODEL:\n - 32\n")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        cfg = load_config("clean", str(tmp_path))
+    assert not rec and cfg.dim_model == 32
