@@ -144,6 +144,59 @@ def _on_tpu() -> bool:
         return False
 
 
+# -- tensor-parallel (head-sharded) attention ---------------------------------
+#
+# GSPMD cannot auto-partition a pallas_call, so under the diffusion TP rules
+# (parallel/sharding.py) the model-parallel path used to force einsum
+# attention. Heads ARE the model-parallel unit though (to_q/to_k/to_v are
+# column-parallel), so attention is embarrassingly parallel over the leading
+# (batch*heads) axis: a shard_map over the mesh's model axis runs the flash
+# kernel per-device on its local head shard with NO collectives inside.
+#
+# ``head_sharded_attention`` is a TRACE-TIME switch: keep the context active
+# around every call (or retrace) of the jitted program that should partition
+# attention this way. Inside the shard_map each shard re-enters the normal
+# dispatch, so flash runs exactly where it measurably pays and einsum
+# otherwise (and the CPU test mesh exercises the identical program).
+
+_TP_CTX: list = []
+
+
+class head_sharded_attention:
+    """Context manager: partition ``attention`` over mesh axis ``axis`` by
+    splitting the leading (batch*heads) dim with shard_map.
+
+    ``force``: None (per-shard measured dispatch) | 'flash' |
+    'flash_interpret' (Pallas interpret mode — CPU-mesh tests).
+    """
+
+    def __init__(self, mesh, axis: str = "model", force: str | None = None):
+        self.ctx = (mesh, axis, force)
+
+    def __enter__(self):
+        _TP_CTX.append(self.ctx)
+        return self
+
+    def __exit__(self, *exc):
+        _TP_CTX.pop()
+        return False
+
+
+def _tp_attention(q, k, v, scale, mesh, axis, force):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(q, k, v):
+        if force in ("flash", "flash_interpret"):
+            return flash_attention(q, k, v, scale,
+                                   interpret=force == "flash_interpret")
+        return _dispatch(q, k, v, scale, 4096, None)
+
+    spec = P(axis, None, None)
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_rep=False)(q, k, v)
+
+
 def should_use_flash(shape, dtype, on_tpu: bool,
                      min_flash_len: int = 4096) -> bool:
     """Evidence-based dispatch policy (measured on v5e-1,
@@ -172,13 +225,7 @@ def should_use_flash(shape, dtype, on_tpu: bool,
             and d <= 128 and T % bq == 0 and T % bk == 0)
 
 
-def attention(q, k, v, scale: float | None = None,
-              min_flash_len: int = 4096, force: str | None = None):
-    """Dispatch: Pallas flash kernel on TPU where measured faster, einsum
-    otherwise. q/k/v: (BH, T, d). ``force`` in {'flash','reference'} pins it;
-    env SDVG_ATTN_FORCE does the same globally (experiments/benchmarks)."""
-    if force is None:
-        force = os.environ.get("SDVG_ATTN_FORCE") or None
+def _dispatch(q, k, v, scale, min_flash_len, force):
     use_flash = (q.shape == k.shape and
                  (force == "flash" or
                   (force is None and
@@ -187,3 +234,24 @@ def attention(q, k, v, scale: float | None = None,
     if use_flash:
         return flash_attention(q, k, v, scale)
     return reference_attention(q, k, v, scale)
+
+
+def attention(q, k, v, scale: float | None = None,
+              min_flash_len: int = 4096, force: str | None = None):
+    """Dispatch: Pallas flash kernel on TPU where measured faster, einsum
+    otherwise. q/k/v: (BH, T, d). ``force`` in {'flash','reference'} pins it;
+    env SDVG_ATTN_FORCE does the same globally (experiments/benchmarks).
+
+    Under an active ``head_sharded_attention`` context, self-attention whose
+    head-batch divides the mesh's model axis is partitioned with shard_map
+    (per-device flash kernels — the path GSPMD cannot derive on its own);
+    everything else falls through to the plain dispatch, which GSPMD
+    partitions fine."""
+    if force is None:
+        force = os.environ.get("SDVG_ATTN_FORCE") or None
+    if _TP_CTX and force != "reference":
+        mesh, axis, tp_force = _TP_CTX[-1]
+        size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis, 1)
+        if size > 1 and q.shape == k.shape and q.shape[0] % size == 0:
+            return _tp_attention(q, k, v, scale, mesh, axis, tp_force)
+    return _dispatch(q, k, v, scale, min_flash_len, force)

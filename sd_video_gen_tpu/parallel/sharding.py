@@ -78,10 +78,13 @@ def param_shardings(mesh: Mesh, params):
 #   GEGLU FFN:    geglu_proj (col) -> out_proj (row).
 #   TimeEmbedding linear_1 (col) -> linear_2 (row).
 #
-# NB: the Pallas flash-attention kernel cannot be auto-partitioned by GSPMD;
-# model-parallel UNet serving must run the einsum attention path (the
-# dispatch already falls back off-TPU; on TPU pass interpret/einsum mode —
-# see tools/bench_mesh_denoise.py).
+# NB: GSPMD cannot auto-partition a pallas_call, so plain jit would force the
+# einsum attention under these rules. ops/attention.head_sharded_attention
+# closes that gap: activate the context around the jitted program and
+# self-attention partitions itself over ``model`` with shard_map (heads are
+# the TP unit — to_q/to_k/to_v are column-parallel), running the flash
+# kernel per device where the measured dispatch says it pays
+# (tests/test_diffusion_sharding.py, tools/bench_mesh_denoise.py).
 
 _DIFF_COL = ("conv1", "to_q", "to_k", "to_v", "geglu_proj", "time_emb_proj",
              "query", "key", "value", "linear_1")

@@ -80,3 +80,48 @@ def test_flash_on_tpu_4096(rng):
     err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
                                 - ref.astype(jnp.float32))))
     assert err < 5e-2, err
+
+
+def test_head_sharded_matches_reference(rng):
+    """TP attention: shard_map over the model axis splits the head-batch;
+    per-shard flash (interpret) and per-shard dispatch must both equal the
+    single-device einsum oracle."""
+    from sd_video_gen_tpu.ops.attention import head_sharded_attention
+    from sd_video_gen_tpu.parallel import make_mesh
+
+    q = jnp.asarray(rng.standard_normal((16, 128, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((16, 128, 32)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((16, 128, 32)), jnp.float32)
+    ref = reference_attention(q, k, v)
+    mesh = make_mesh("data=1,model=8")
+    for force in (None, "flash_interpret"):
+        with head_sharded_attention(mesh, force=force):
+            out = jax.jit(attention)(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_head_sharded_falls_through(rng):
+    """Non-divisible head-batch and cross-attention shapes skip the
+    shard_map and still compute correctly under an active context."""
+    from sd_video_gen_tpu.ops.attention import head_sharded_attention
+    from sd_video_gen_tpu.parallel import make_mesh
+
+    mesh = make_mesh("data=1,model=8")
+    q = jnp.asarray(rng.standard_normal((3, 128, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 128, 32)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((3, 128, 32)), jnp.float32)
+    with head_sharded_attention(mesh):
+        out = jax.jit(attention)(q, k, v)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(reference_attention(q, k, v)),
+                               rtol=2e-5, atol=2e-5)
+    # cross-attention: kv sequence differs from q sequence
+    kx = jnp.asarray(rng.standard_normal((16, 7, 32)), jnp.float32)
+    vx = jnp.asarray(rng.standard_normal((16, 7, 32)), jnp.float32)
+    qx = jnp.asarray(rng.standard_normal((16, 128, 32)), jnp.float32)
+    with head_sharded_attention(mesh):
+        out = jax.jit(attention)(qx, kx, vx)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(reference_attention(qx, kx, vx)),
+                               rtol=2e-5, atol=2e-5)

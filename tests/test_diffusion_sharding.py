@@ -139,3 +139,65 @@ def test_denoise_scan_sharded_matches_single_device(rng):
     out = jax.jit(scan_denoise)(sharded, z)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_unet_tp_forward_head_sharded_attention(rng):
+    """Model-parallel UNet forward with the head-sharded attention context:
+    the spatial self-attentions run as shard_map over the model axis
+    (per-device flash in interpret mode — the composition GSPMD cannot
+    derive for a pallas_call) and must match the single-device forward."""
+    from sd_video_gen_tpu.ops.attention import head_sharded_attention
+
+    model, params = _tiny_unet()
+    z = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([3, 7], jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((2, 2, 32)), jnp.float32)
+    ref = jax.jit(model.apply)(params, z, t, ctx)
+
+    mesh = make_mesh("data=1,model=4", devices=jax.devices()[:4])
+    sharded = jax.device_put(params, diffusion_param_shardings(mesh, params))
+    for force in (None, "flash_interpret"):
+        with head_sharded_attention(mesh, force=force):
+            out = jax.jit(model.apply)(sharded, z, t, ctx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_denoise_refiner_tensor_parallel_matches(rng):
+    """The predict-CLI TP serving composition (--mesh data=1,model=N
+    --denoise): refiner params sharded by the diffusion rules + the
+    head-sharded attention context must reproduce the single-device
+    refinement."""
+    import pytest
+
+    from sd_video_gen_tpu.config import Config
+    from sd_video_gen_tpu.diffusion.refine import make_denoise_refiner
+    from sd_video_gen_tpu.diffusion.sd import SDPipeline
+    from sd_video_gen_tpu.models.clip_text import CLIPTextConfig
+    from sd_video_gen_tpu.ops.attention import head_sharded_attention
+
+    cfg = Config(config_name="t", frame_size=32)
+    with pytest.warns(UserWarning, match="random init"):
+        pipe = SDPipeline(
+            frame_size=32,
+            vae_cfg=VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                              norm_num_groups=2),
+            unet_cfg=UNetConfig(block_out_channels=(8, 16),
+                                layers_per_block=1, attention_heads=2,
+                                cross_attention_dim=16, norm_num_groups=2),
+            clip_cfg=CLIPTextConfig(vocab_size=49408, hidden_size=16,
+                                    num_layers=1, num_heads=2,
+                                    intermediate_size=32, max_length=8))
+    refine_apply, rp = make_denoise_refiner(cfg, start_step=3, pipeline=pipe,
+                                            num_inference_steps=4, hi_res=32)
+    L = pipe.vae.latent_dim
+    flat = jnp.asarray(rng.standard_normal((2, L)), jnp.float32)
+    ref = jax.jit(refine_apply)(rp, flat)
+
+    mesh = make_mesh("data=1,model=2", devices=jax.devices()[:2])
+    rp_s = jax.device_put(rp, diffusion_param_shardings(mesh, rp))
+    with head_sharded_attention(mesh):
+        out = jax.jit(refine_apply)(rp_s, flat)
+    # tolerance as in test_denoise_refiner_round_trip: the 4-step DDIM
+    # pixel round trip amplifies f32 reduction-order differences
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)

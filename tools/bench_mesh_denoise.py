@@ -7,9 +7,11 @@ a reduced-width SD pipeline (VAE encode -> DDIM partial-denoise scan ->
 VAE decode) jitted with model-sharded UNet/VAE params, checksum-compared
 against the single-device run for every mesh in 1/2/4/8.
 
-Flash-attention caveat: the Pallas kernel cannot be auto-partitioned by
-GSPMD; on a real TPU the model-parallel path must keep the einsum attention
-(the CPU dispatch here already does). Run:
+Attention legs: the plain-jit pass lets GSPMD partition the einsum
+attention; a second pass per mesh activates ops/attention.
+head_sharded_attention, which shard_maps self-attention over the model axis
+(per-device flash kernels on TPU — the composition GSPMD cannot derive for
+a pallas_call) and must match the single-device checksum too. Run:
 
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
     python tools/bench_mesh_denoise.py
@@ -49,11 +51,13 @@ def main():
     vae = AutoencoderKL(vcfg)
 
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.standard_normal((1, 32, 32, 3)) * 0.3, jnp.float32)
-    ctx = jnp.asarray(rng.standard_normal((1, 2, 32)), jnp.float32)
+    # batch 2 x 4 heads = head-batch 8: the head-sharded leg engages on
+    # every mesh size swept below
+    img = jnp.asarray(rng.standard_normal((2, 32, 32, 3)) * 0.3, jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((2, 2, 32)), jnp.float32)
 
-    up = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
-                   jnp.zeros((1,), jnp.int32), ctx)
+    up = unet.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 4)),
+                   jnp.zeros((2,), jnp.int32), ctx)
     vp = vae.init(jax.random.PRNGKey(1), img)
 
     sched = DDIMSchedule(10)
@@ -77,17 +81,24 @@ def main():
     print(json.dumps({"mesh": "single", "checksum": float(np.abs(ref).sum())}),
           flush=True)
 
+    from sd_video_gen_tpu.ops.attention import head_sharded_attention
+
     for n in (2, 4, 8):
         mesh = make_mesh(f"data=1,model={n}", devices=jax.devices()[:n])
         up_s = jax.device_put(up, diffusion_param_shardings(mesh, up))
         vp_s = jax.device_put(vp, diffusion_param_shardings(mesh, vp))
-        out = np.asarray(jax.jit(pipeline)(up_s, vp_s, img))
-        ok = bool(np.allclose(out, ref, rtol=2e-4, atol=2e-5))
-        print(json.dumps({"mesh": f"model={n}",
-                          "checksum": float(np.abs(out).sum()),
-                          "matches_single": ok}), flush=True)
-        if not ok:
-            raise SystemExit(f"model={n} mismatch")
+        for attn in ("gspmd-einsum", "head-sharded"):
+            if attn == "head-sharded":
+                with head_sharded_attention(mesh):
+                    out = np.asarray(jax.jit(pipeline)(up_s, vp_s, img))
+            else:
+                out = np.asarray(jax.jit(pipeline)(up_s, vp_s, img))
+            ok = bool(np.allclose(out, ref, rtol=2e-4, atol=2e-5))
+            print(json.dumps({"mesh": f"model={n}", "attention": attn,
+                              "checksum": float(np.abs(out).sum()),
+                              "matches_single": ok}), flush=True)
+            if not ok:
+                raise SystemExit(f"model={n} {attn} mismatch")
     print(json.dumps({"ok": True}))
 
 
