@@ -128,6 +128,22 @@ def _dense(sd, prefix):
             "bias": jnp.asarray(sd[prefix + ".bias"])}
 
 
+def _geglu_split(sd, prefix):
+    """diffusers fuses the GEGLU h|gate projections into one
+    ``ff.net.0.proj`` matmul and chunks the output in half; our UNet keeps
+    them as two column-parallel denses (models/unet.py FeedForwardGEGLU —
+    tensor-parallel alignment). Split the fused weight exactly: first half
+    -> h, second half -> gate (torch chunk(2, dim=-1) order on the OUT
+    features, i.e. rows of the torch (out, in) weight)."""
+    w = jnp.asarray(sd[prefix + ".weight"])          # (2*dff, in)
+    b = jnp.asarray(sd[prefix + ".bias"])            # (2*dff,)
+    dff = w.shape[0] // 2
+    return {
+        "geglu_proj_h": {"kernel": _linear_w(w[:dff]), "bias": b[:dff]},
+        "geglu_proj_gate": {"kernel": _linear_w(w[dff:]), "bias": b[dff:]},
+    }
+
+
 def _norm(sd, prefix):
     return {"scale": jnp.asarray(sd[prefix + ".weight"]),
             "bias": jnp.asarray(sd[prefix + ".bias"])}
@@ -220,7 +236,7 @@ def _tf2d(sd, prefix):
             "norm2": ln(b + ".norm2"),
             "attn2": attn(b + ".attn2"),
             "norm3": ln(b + ".norm3"),
-            "ff": {"geglu_proj": _dense(sd, b + ".ff.net.0.proj"),
+            "ff": {**_geglu_split(sd, b + ".ff.net.0.proj"),
                    "out_proj": _dense(sd, b + ".ff.net.2")},
         },
     }

@@ -154,8 +154,17 @@ class FeedForwardGEGLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        h = _dense(c, 8 * self.dim, "geglu_proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
+        # diffusers fuses h|gate into one ff.net.0.proj matmul and chunks the
+        # output. Two separate projections compute the identical function
+        # (the converter splits the fused HF weight) but keep the halves
+        # ALIGNED under tensor parallelism: with one fused kernel sharded
+        # contiguously over `model`, each half lands on only half the
+        # devices and GSPMD must fully rematerialize at the split (observed:
+        # spmd_partitioner 'involuntary full rematerialization' per FF
+        # block). Column-parallel h/gate + row-parallel out_proj is the
+        # Megatron pairing with zero intra-FF collectives.
+        h = _dense(c, 4 * self.dim, "geglu_proj_h")(x)
+        gate = _dense(c, 4 * self.dim, "geglu_proj_gate")(x)
         h = h * nn.gelu(gate, approximate=False)
         return _dense(c, self.dim, "out_proj")(h)
 

@@ -75,7 +75,8 @@ def param_shardings(mesh: Mesh, params):
 #   Attention:    to_q/to_k/to_v (col: heads split across devices) ->
 #                 to_out_0 (row). VAE single-head: query/key/value ->
 #                 proj_attn.
-#   GEGLU FFN:    geglu_proj (col) -> out_proj (row).
+#   GEGLU FFN:    geglu_proj_h / geglu_proj_gate (both col — split denses
+#                 keep the h|gate halves shard-aligned) -> out_proj (row).
 #   TimeEmbedding linear_1 (col) -> linear_2 (row).
 #
 # NB: GSPMD cannot auto-partition a pallas_call, so plain jit would force the
@@ -86,8 +87,9 @@ def param_shardings(mesh: Mesh, params):
 # kernel per device where the measured dispatch says it pays
 # (tests/test_diffusion_sharding.py, tools/bench_mesh_denoise.py).
 
-_DIFF_COL = ("conv1", "to_q", "to_k", "to_v", "geglu_proj", "time_emb_proj",
-             "query", "key", "value", "linear_1")
+_DIFF_COL = ("conv1", "to_q", "to_k", "to_v", "geglu_proj_h",
+             "geglu_proj_gate", "time_emb_proj", "query", "key", "value",
+             "linear_1")
 _DIFF_ROW = ("conv2", "to_out_0", "out_proj", "proj_attn", "linear_2")
 
 

@@ -65,7 +65,8 @@ def test_unet_rules_shard_megatron_pairs():
     assert blk["attn1"]["to_q"]["kernel"].spec == P(None, "model")
     assert blk["attn1"]["to_out_0"]["kernel"].spec == P("model", None)
     # GEGLU: proj col, out row
-    assert blk["ff"]["geglu_proj"]["kernel"].spec == P(None, "model")
+    assert blk["ff"]["geglu_proj_h"]["kernel"].spec == P(None, "model")
+    assert blk["ff"]["geglu_proj_gate"]["kernel"].spec == P(None, "model")
     assert blk["ff"]["out_proj"]["kernel"].spec == P("model", None)
     # norms / biases / in-out convs replicated
     assert _spec_of(p, "conv_in", "kernel") == P()

