@@ -163,11 +163,18 @@ _TP_CTX: list = []
 
 
 class head_sharded_attention:
-    """Context manager: partition ``attention`` over mesh axis ``axis`` by
-    splitting the leading (batch*heads) dim with shard_map.
+    """Context manager: partition ``attention`` over mesh axis ``axis``.
+
+    Self-attention whose head-batch divides the axis splits over HEADS
+    (shard_map, per-device flash kernels, no collectives). When heads
+    cannot split but the token axis can — the VAE's single-head 4096-token
+    mid block — it falls back to sequence-parallel ring attention
+    (``_ring_attention``: ppermute'd k/v blocks + online softmax).
+    Everything else falls through to the plain GSPMD dispatch.
 
     ``force``: None (per-shard measured dispatch) | 'flash' |
-    'flash_interpret' (Pallas interpret mode — CPU-mesh tests).
+    'flash_interpret' (Pallas interpret mode — CPU-mesh tests); applies to
+    the head-sharded path.
     """
 
     def __init__(self, mesh, axis: str = "model", force: str | None = None):
@@ -193,6 +200,61 @@ def _tp_attention(q, k, v, scale, mesh, axis, force):
         return _dispatch(q, k, v, scale, 4096, None)
 
     spec = P(axis, None, None)
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_rep=False)(q, k, v)
+
+
+# engage the ring only when each device keeps a meaningful token block;
+# below this the ppermute latency dominates any compute win
+RING_MIN_TOKENS = 512
+
+
+def _ring_attention(q, k, v, scale, mesh, axis):
+    """Sequence-parallel (ring) attention: q/k/v shard over TOKENS.
+
+    For attention a head-split cannot touch — the SD VAE mid-block is
+    single-head over 4096 tokens at 512px — the sequence axis is the only
+    parallel dimension left. Each device holds one q/k/v token block;
+    k/v blocks rotate around the ring with ``lax.ppermute`` (neighbor
+    exchange — rides ICI) while the local q block folds every visiting
+    k/v block into an online-softmax accumulator (same math as the flash
+    kernel's key sweep, f32 accumulation). Non-causal, so visit order is
+    irrelevant and no masking logic is needed. O(T/S) memory per device
+    and S-1 permutes of the (B, T/S, d) k/v blocks.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    size = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    scale = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    perm = [(j, (j + 1) % size) for j in range(size)]
+
+    def local(q, k, v):
+        B, Tl, d = q.shape
+        m0 = jnp.full((B, Tl, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((B, Tl, 1), jnp.float32)
+        a0 = jnp.zeros((B, Tl, d), jnp.float32)
+
+        def step(carry, _):
+            m, l, acc, kb, vb = carry
+            s = jnp.einsum("btd,bsd->bts", q, kb,
+                           preferred_element_type=jnp.float32) * scale
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.einsum(
+                "bts,bsd->btd", p.astype(vb.dtype), vb,
+                preferred_element_type=jnp.float32)
+            kb = jax.lax.ppermute(kb, axis, perm)
+            vb = jax.lax.ppermute(vb, axis, perm)
+            return (m_new, l, acc, kb, vb), ()
+
+        (m, l, acc, _, _), _ = jax.lax.scan(step, (m0, l0, a0, k, v),
+                                            None, length=size)
+        return (acc / l).astype(q.dtype)
+
+    spec = P(None, axis, None)
     return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                      out_specs=spec, check_rep=False)(q, k, v)
 
@@ -252,6 +314,12 @@ def attention(q, k, v, scale: float | None = None,
     if _TP_CTX and force != "reference":
         mesh, axis, tp_force = _TP_CTX[-1]
         size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis, 1)
-        if size > 1 and q.shape == k.shape and q.shape[0] % size == 0:
-            return _tp_attention(q, k, v, scale, mesh, axis, tp_force)
+        if size > 1 and q.shape == k.shape:
+            if q.shape[0] % size == 0:
+                return _tp_attention(q, k, v, scale, mesh, axis, tp_force)
+            if (q.shape[1] % size == 0 and
+                    q.shape[1] >= RING_MIN_TOKENS):
+                # heads cannot split (e.g. the VAE's single-head 4096-token
+                # attention): shard the sequence instead
+                return _ring_attention(q, k, v, scale, mesh, axis)
     return _dispatch(q, k, v, scale, min_flash_len, force)

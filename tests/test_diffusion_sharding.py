@@ -202,3 +202,41 @@ def test_denoise_refiner_tensor_parallel_matches(rng):
     # tolerance as in test_denoise_refiner_round_trip: the 4-step DDIM
     # pixel round trip amplifies f32 reduction-order differences
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_vae_tp_ring_attention_matches(rng, monkeypatch):
+    """Sharded VAE under the TP attention context: the single-head mid-block
+    attention (head-batch == B, unsplittable) routes to sequence-parallel
+    ring attention and the round trip must match single-device numerics."""
+    import sd_video_gen_tpu.ops.attention as A
+
+    model, params = _tiny_vae()
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    enc_ref = jax.jit(lambda p, x: model.apply(p, x,
+                                               method=AutoencoderKL.encode)[0]
+                      )(params, x)
+    dec_ref = jax.jit(lambda p, z: model.apply(p, z,
+                                               method=AutoencoderKL.decode)
+                      )(params, enc_ref)
+
+    monkeypatch.setattr(A, "RING_MIN_TOKENS", 64)  # engage at CPU test size
+    called = {}
+    real_ring = A._ring_attention
+
+    def spy(*a, **kw):
+        called["ring"] = True
+        return real_ring(*a, **kw)
+
+    monkeypatch.setattr(A, "_ring_attention", spy)
+    mesh = make_mesh("data=1,model=8")
+    sharded = jax.device_put(params, diffusion_param_shardings(mesh, params))
+    with A.head_sharded_attention(mesh):
+        enc = jax.jit(lambda p, x: model.apply(
+            p, x, method=AutoencoderKL.encode)[0])(sharded, x)
+        dec = jax.jit(lambda p, z: model.apply(
+            p, z, method=AutoencoderKL.decode))(sharded, enc)
+    assert called.get("ring"), "ring path did not engage in the VAE mid block"
+    np.testing.assert_allclose(np.asarray(enc), np.asarray(enc_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(dec_ref),
+                               rtol=2e-4, atol=2e-5)
