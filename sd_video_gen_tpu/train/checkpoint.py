@@ -45,12 +45,68 @@ def checkpoint_path(checkpoint_dir: str, config_name: str, index: int,
     return os.path.abspath(os.path.join(checkpoint_dir, name))
 
 
-def save_checkpoint(path: str, state) -> None:
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state, force=True)
+# -- async save machinery -----------------------------------------------------
+#
+# A flagship TrainState save moves ~5GB (params + Adam state); synchronous
+# epoch-granular saving stalls the train loop for the full disk write. The
+# shared AsyncCheckpointer copies device arrays to host, returns, and
+# serializes in background threads — the loop overlaps the write with the
+# next epochs. Sequencing: AsyncCheckpointer.save() itself blocks until any
+# PREVIOUS save has committed, so by the time a new save starts, every
+# pending path is durable and gets its version stamp then. finalize_saves()
+# drains everything (fit end, interrupt, restore, process exit).
+
+_ASYNC_CKPTR = None
+_PENDING_STAMPS: list = []
+
+
+def _async_ckptr():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        import atexit
+        atexit.register(finalize_saves)
+    return _ASYNC_CKPTR
+
+
+def _stamp(path: str) -> None:
     if jax.process_index() == 0:  # multihost: one stamp writer
         with open(os.path.join(path, _FORMAT_FILE), "w") as f:
             json.dump({"format_version": FORMAT_VERSION}, f)
+
+
+def _stamp_pending() -> None:
+    for p in _PENDING_STAMPS:
+        _stamp(p)
+    _PENDING_STAMPS.clear()
+
+
+def finalize_saves() -> None:
+    """Block until every in-flight async save has committed, then stamp."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+    _stamp_pending()
+
+
+def save_checkpoint(path: str, state, block: bool = True) -> None:
+    """Save the full TrainState at ``path`` and stamp the format version.
+
+    ``block=False`` returns as soon as device arrays are copied to host and
+    lets the serialization run in background threads; callers must ensure
+    ``finalize_saves()`` runs before the checkpoint is read (restore and the
+    Trainer's fit/interrupt paths do).
+    """
+    path = os.path.abspath(path)
+    ckptr = _async_ckptr()
+    # a re-save of a path still pending would stamp a half-written dir;
+    # the new save's own commit will stamp it instead
+    if path in _PENDING_STAMPS:
+        _PENDING_STAMPS.remove(path)
+    ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+    _stamp_pending()  # everything before this save is committed now
+    _PENDING_STAMPS.append(path)
+    if block:
+        finalize_saves()
 
 
 def read_format_version(path: str) -> int:
@@ -69,6 +125,7 @@ def restore_checkpoint(path: str, abstract_state):
     an unstamped checkpoint that already matches the current structure
     (saved by early v2 builds) restores normally.
     """
+    finalize_saves()  # never read a checkpoint whose save is in flight
     path = os.path.abspath(path)
     if not os.path.isdir(path):
         raise FileNotFoundError(f"no checkpoint directory at {path}")

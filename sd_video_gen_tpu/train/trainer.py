@@ -481,6 +481,8 @@ class Trainer:
                 if save_best or epoch % max(ckpt_every, 1) == 0 \
                         or epoch == epochs:
                     self._save(metrics, save_best)
+            # drain in-flight async epoch saves before declaring fit done
+            ckpt.finalize_saves()
         except (KeyboardInterrupt, SystemExit, Exception) as e:
             # failure/preemption handling: persist an emergency checkpoint
             # (params + opt state + step) so --resume continues exactly; the
@@ -496,21 +498,24 @@ class Trainer:
 
     def _save(self, metrics, save_best: bool):
         # save-best on train and val separately, else save-last
-        # (trainers/trainer.py:469-480 semantics).
+        # (trainers/trainer.py:469-480 semantics). Epoch saves are ASYNC:
+        # device arrays are copied to host, the disk write overlaps the next
+        # epochs (a flagship TrainState moves ~5GB); fit() and the interrupt
+        # path drain with ckpt.finalize_saves().
         if save_best:
             if metrics["train_loss"] < self.best_train:
                 self.best_train = metrics["train_loss"]
-                self.save("train")
+                self.save("train", block=False)
             if metrics["val_loss"] < self.best_val:
                 self.best_val = metrics["val_loss"]
-                self.save("test")
+                self.save("test", block=False)
         else:
-            self.save("test")
+            self.save("test", block=False)
 
-    def save(self, mode_tag: str):
+    def save(self, mode_tag: str, block: bool = True):
         path = ckpt.checkpoint_path(self.checkpoint_dir, self.cfg.config_name,
                                     self.index, mode_tag)
-        ckpt.save_checkpoint(path, self.state)
+        ckpt.save_checkpoint(path, self.state, block=block)
         return path
 
 

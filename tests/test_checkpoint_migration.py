@@ -140,3 +140,34 @@ def test_wrong_structure_surfaces_original_error(tmp_path):
     assert not any("format v1" in str(r.message) for r in rec), \
         "misleading v1-migration warning fired for a non-v1 checkpoint"
     assert "v1" not in str(ei.value)
+
+
+def test_async_save_stamps_and_restores(tmp_path):
+    """block=False returns before the write commits; finalize_saves() makes
+    it durable + stamped, and restore never reads an in-flight save."""
+    state = _tiny_state()
+    p1 = str(tmp_path / "a")
+    p2 = str(tmp_path / "b")
+    ckpt.save_checkpoint(p1, state, block=False)
+    ckpt.save_checkpoint(p2, state, block=False)  # sequences behind p1
+    restored = ckpt.restore_checkpoint(p1, ckpt.abstract_like(state))
+    assert ckpt.read_format_version(p1) == ckpt.FORMAT_VERSION
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["params"]["embedding"]["kernel"]),
+        np.asarray(state.params["params"]["embedding"]["kernel"]))
+    ckpt.finalize_saves()
+    assert ckpt.read_format_version(p2) == ckpt.FORMAT_VERSION
+
+
+def test_async_resave_same_path(tmp_path):
+    """Re-saving a path whose first save is still pending must not stamp a
+    half-written directory; the final contents win."""
+    state = _tiny_state()
+    bumped = state.replace(step=state.step + 41)
+    p = str(tmp_path / "ck")
+    ckpt.save_checkpoint(p, state, block=False)
+    ckpt.save_checkpoint(p, bumped, block=False)
+    ckpt.finalize_saves()
+    restored = ckpt.restore_checkpoint(p, ckpt.abstract_like(state))
+    assert int(restored.step) == int(bumped.step)
+    assert ckpt.read_format_version(p) == ckpt.FORMAT_VERSION
