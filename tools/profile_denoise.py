@@ -7,7 +7,6 @@ encode@64. Prints per-piece ms so optimization targets the real hot spot.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
@@ -21,32 +20,15 @@ enable_compilation_cache()
 from sd_video_gen_tpu.config import Config
 from sd_video_gen_tpu.diffusion.sd import SDPipeline
 from sd_video_gen_tpu.diffusion.vae_codec import VAECodec
-
-REP = 8
+from tools._bench_harness import measure
 
 
 def timeit(name, fn, x, *rest):
-    """Scan over REP DISTINCT copies of the first arg — identical repeated
-    calls get CSE'd by XLA into one execution (this bit us: every piece
-    looked 8x faster than reality)."""
-    xs = jnp.stack([x + (i % 2) * jnp.ones((), x.dtype) for i in range(REP)])
-
-    @jax.jit
-    def chained(xs, *rest):
-        def body(acc, xi):
-            r = fn(xi, *rest)
-            return acc + jnp.sum(r.astype(jnp.float32)), ()
-        acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
-        return acc
-
-    _ = float(chained(xs, *rest))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(chained(xs, *rest))
-        best = min(best, time.perf_counter() - t0)
-    print(json.dumps({"piece": name, "ms": round(best / REP * 1e3, 2)}),
-          flush=True)
+    """CSE-proof per-piece time via the shared harness (identical repeated
+    calls get CSE'd by XLA into one execution — every piece once looked
+    8x faster than reality)."""
+    dt = measure(fn, x, *rest, rep=8)
+    print(json.dumps({"piece": name, "ms": round(dt * 1e3, 2)}), flush=True)
 
 
 def main():
