@@ -115,3 +115,28 @@ def test_int8_full_rollout_predict(rng):
     assert preds_q.shape == preds_f32.shape
     a, b = np.asarray(preds_q).ravel(), np.asarray(preds_f32).ravel()
     assert np.corrcoef(a, b)[0, 1] > 0.99
+
+
+def test_predict_cli_mesh_serving(tmp_path, monkeypatch):
+    """The shipped predict CLI with --mesh: data-parallel clip sharding and
+    a model-axis mesh (head-sharded attention context active) both run end
+    to end on the virtual mesh."""
+    import os
+
+    from sd_video_gen_tpu.data.synthetic import generate_bouncing_ball_tree
+    from sd_video_gen_tpu.predict.predict import main
+
+    root = generate_bouncing_ball_tree(str(tmp_path / "ball"), 2, 2, 10, 32)
+    (tmp_path / "configs").mkdir()
+    (tmp_path / "configs" / "meshcfg.yml").write_text(
+        "BATCH_SIZE:\n - 2\nFRAMES_PER_CLIP:\n - 5\nFRAMES_TO_PREDICT:\n"
+        " - 2\nFRAME_SIZE: 32\nDIM_MODEL:\n - 32\nNUM_HEADS:\n - 4\n"
+        "NUM_ENCODER_LAYERS:\n - 1\nNUM_DECODER_LAYERS:\n - 1\n")
+    monkeypatch.chdir(tmp_path)  # outputs/ written under tmp
+    for mesh in ("data=2,model=4", "data=1,model=8"):
+        main(["--dataset", "ball", "--config", "meshcfg",
+              "--config_dir", str(tmp_path / "configs"), "--folder", root,
+              "--naive", "True", "--pred_frames", "2", "--max_clips", "2",
+              "--batch_clips", "2", "--mesh", mesh,
+              "--save_output", "True"])
+        assert os.path.isdir(tmp_path / "outputs")
