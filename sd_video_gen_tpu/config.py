@@ -144,6 +144,7 @@ def load_raw_config(config_name: str, config_dir: str | None = None) -> dict:
     """
     with open(_find_config_path(config_name, config_dir)) as f:
         data = yaml.safe_load(f)
+    data = data or {}  # empty / comment-only file parses to None
     unknown = [k for k in data if k not in _YAML_KEYS]
     if unknown:
         hint = ""

@@ -189,7 +189,7 @@ class head_sharded_attention:
         return False
 
 
-def _tp_attention(q, k, v, scale, mesh, axis, force):
+def _tp_attention(q, k, v, scale, mesh, axis, force, min_flash_len=4096):
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -197,7 +197,7 @@ def _tp_attention(q, k, v, scale, mesh, axis, force):
         if force in ("flash", "flash_interpret"):
             return flash_attention(q, k, v, scale,
                                    interpret=force == "flash_interpret")
-        return _dispatch(q, k, v, scale, 4096, None)
+        return _dispatch(q, k, v, scale, min_flash_len, force)
 
     spec = P(axis, None, None)
     return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
@@ -231,12 +231,8 @@ def _ring_attention(q, k, v, scale, mesh, axis):
 
     def local(q, k, v):
         B, Tl, d = q.shape
-        m0 = jnp.full((B, Tl, 1), -jnp.inf, jnp.float32)
-        l0 = jnp.zeros((B, Tl, 1), jnp.float32)
-        a0 = jnp.zeros((B, Tl, d), jnp.float32)
 
-        def step(carry, _):
-            m, l, acc, kb, vb = carry
+        def fold(m, l, acc, kb, vb):
             s = jnp.einsum("btd,bsd->bts", q, kb,
                            preferred_element_type=jnp.float32) * scale
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -246,12 +242,23 @@ def _ring_attention(q, k, v, scale, mesh, axis):
             acc = acc * alpha + jnp.einsum(
                 "bts,bsd->btd", p.astype(vb.dtype), vb,
                 preferred_element_type=jnp.float32)
+            return m_new, l, acc
+
+        # fold the resident block first, then permute-then-fold (size-1)
+        # times — exactly S-1 neighbor exchanges, none of them dead
+        m, l, acc = fold(jnp.full((B, Tl, 1), -jnp.inf, jnp.float32),
+                         jnp.zeros((B, Tl, 1), jnp.float32),
+                         jnp.zeros((B, Tl, d), jnp.float32), k, v)
+
+        def step(carry, _):
+            m, l, acc, kb, vb = carry
             kb = jax.lax.ppermute(kb, axis, perm)
             vb = jax.lax.ppermute(vb, axis, perm)
-            return (m_new, l, acc, kb, vb), ()
+            m, l, acc = fold(m, l, acc, kb, vb)
+            return (m, l, acc, kb, vb), ()
 
-        (m, l, acc, _, _), _ = jax.lax.scan(step, (m0, l0, a0, k, v),
-                                            None, length=size)
+        (m, l, acc, _, _), _ = jax.lax.scan(step, (m, l, acc, k, v),
+                                            None, length=size - 1)
         return (acc / l).astype(q.dtype)
 
     spec = P(None, axis, None)
@@ -316,7 +323,10 @@ def attention(q, k, v, scale: float | None = None,
         size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis, 1)
         if size > 1 and q.shape == k.shape:
             if q.shape[0] % size == 0:
-                return _tp_attention(q, k, v, scale, mesh, axis, tp_force)
+                # an explicit caller force (argument or SDVG_ATTN_FORCE)
+                # wins over the context's default per-shard dispatch
+                return _tp_attention(q, k, v, scale, mesh, axis,
+                                     tp_force or force, min_flash_len)
             if (q.shape[1] % size == 0 and
                     q.shape[1] >= RING_MIN_TOKENS):
                 # heads cannot split (e.g. the VAE's single-head 4096-token

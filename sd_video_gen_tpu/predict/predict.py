@@ -285,6 +285,25 @@ def main(argv=None):
         refine_fn = make_denoise_refiner(cfg, args.denoise_start_step,
                                          pipeline=pipe)
 
+    mesh = model_par = None
+    if args.mesh:
+        # multi-chip serving: transformer params replicate, the clip batch
+        # shards over the data axis, and — when the mesh has a model axis and
+        # --denoise is on — the UNet/VAE refiner params shard tensor-parallel
+        # (parallel/sharding.diffusion_param_shardings) so one denoise stream
+        # spans chips. head_sharded_attention lets the Pallas flash kernel
+        # run per-device on its head shard (GSPMD cannot partition a
+        # pallas_call on its own — ops/attention.py).
+        from sd_video_gen_tpu.parallel import (make_mesh,
+                                               diffusion_param_shardings)
+        mesh = make_mesh(args.mesh)
+        model_par = dict(zip(mesh.axis_names,
+                             mesh.devices.shape)).get("model", 1) > 1
+        if model_par and refine_fn is not None:
+            ra, rp = refine_fn
+            refine_fn = (ra, jax.device_put(
+                rp, diffusion_param_shardings(mesh, rp)))
+
     predict = make_predict_fn(model, codec, args.pred_frames,
                               window=cfg.frames_per_clip,
                               mode=args.train_mode, refiner=refine_fn,
@@ -296,31 +315,10 @@ def main(argv=None):
         from sd_video_gen_tpu.models.text_embed import ClassNameEmbedder
         embedder = ClassNameEmbedder(101, 384)
 
-    if args.mesh:
-        # multi-chip serving: transformer params replicate, the clip batch
-        # shards over the data axis, and — when the mesh has a model axis and
-        # --denoise is on — the UNet/VAE refiner params shard tensor-parallel
-        # (parallel/sharding.diffusion_param_shardings) so one denoise stream
-        # spans chips. head_sharded_attention lets the Pallas flash kernel
-        # run per-device on its head shard (GSPMD cannot partition a
-        # pallas_call on its own — ops/attention.py).
-        from sd_video_gen_tpu.parallel import (make_mesh, batch_sharding,
-                                               replicated,
-                                               diffusion_param_shardings)
+    if mesh is not None:
+        from sd_video_gen_tpu.parallel import batch_sharding, replicated
         from sd_video_gen_tpu.ops.attention import head_sharded_attention
-        mesh = make_mesh(args.mesh)
-        model_par = dict(zip(mesh.axis_names,
-                             mesh.devices.shape)).get("model", 1) > 1
         params = jax.device_put(params, replicated(mesh))
-        if model_par and refine_fn is not None:
-            ra, rp = refine_fn
-            rp = jax.device_put(rp, diffusion_param_shardings(mesh, rp))
-            # rebuild the rollout program around the sharded refiner tree
-            predict = make_predict_fn(model, codec, args.pred_frames,
-                                      window=cfg.frames_per_clip,
-                                      mode=args.train_mode, refiner=(ra, rp),
-                                      rollout=args.rollout,
-                                      int8=args.int8 and not args.naive)
         base_predict = predict
         b_shard = batch_sharding(mesh)
 

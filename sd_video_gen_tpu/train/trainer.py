@@ -291,6 +291,16 @@ class Trainer:
                               for i in indices], jnp.int32)
         return self.text_embedder(labels)
 
+    def _put_texts(self, indices):
+        """Text embeddings aligned with the ASSEMBLED frame batch: under
+        --multihost the frame batch is global, so the local embed slice must
+        be assembled the same way (a local slice paired with a global batch
+        is a shape mismatch — or worse, a silent mispairing)."""
+        te = self._texts(indices)
+        if te is None:
+            return None
+        return self._put_batch(np.asarray(te))
+
     def _put_batch(self, frames):
         if self.multihost:
             # frames here are THIS process's slice of the global batch
@@ -308,7 +318,7 @@ class Trainer:
             timer.start()
             batch = self._put_batch(frames)
             self.state, comps = self._step_fn(self.state, batch, rng,
-                                              self._texts(indices))
+                                              self._put_texts(indices))
             timer.stop()
             sums = comps if sums is None else jax.tree.map(jnp.add, sums, comps)
             nb += 1
@@ -324,7 +334,8 @@ class Trainer:
         sums, nb = None, 0
         for indices, frames in loader:
             batch = self._put_batch(frames)
-            comps = self._eval_fn(self.state.params, batch, self._texts(indices))
+            comps = self._eval_fn(self.state.params, batch,
+                                  self._put_texts(indices))
             sums = comps if sums is None else jax.tree.map(jnp.add, sums, comps)
             nb += 1
         if sums is None:
@@ -433,9 +444,7 @@ class Trainer:
             if bi >= max_batches:
                 break
             gb = self._put_batch(frames)
-            te = self._texts(indices)
-            if te is not None:
-                te = self._put_batch(np.asarray(te))
+            te = self._put_texts(indices)
             out = fvd_batch(self.state.params, codec_params,
                             i3d_params, gb, te)
             for a, o in zip(acc, out):

@@ -12,7 +12,8 @@ from __future__ import annotations
 import jax
 
 
-def run_case(data_dir: str, process_shard=None, epochs: int = 2):
+def run_case(data_dir: str, process_shard=None, epochs: int = 2,
+             mode: str = "ar"):
     from sd_video_gen_tpu.config import Config
     from sd_video_gen_tpu.data import BouncingBallDataset, BatchLoader
     from sd_video_gen_tpu.parallel import make_mesh
@@ -23,7 +24,8 @@ def run_case(data_dir: str, process_shard=None, epochs: int = 2):
                  dim_model=32, num_heads=4, num_encoder_layers=1,
                  num_decoder_layers=1, dropout_p=0.0, use_mse=True)
     mesh = make_mesh("data=8,model=1")
-    trainer = Trainer(cfg, mode="ar", codec_kind="pixel", mesh=mesh,
+    trainer = Trainer(cfg, mode=mode, codec_kind="pixel", mesh=mesh,
+                      num_classes=64,
                       checkpoint_dir=data_dir + "/ckpt_unused",
                       use_wandb=False)
     ds = BouncingBallDataset(5, 1, data_dir, "train", seed=3)
@@ -31,8 +33,9 @@ def run_case(data_dir: str, process_shard=None, epochs: int = 2):
                          process_shard=process_shard)
 
     rng = jax.random.PRNGKey(0)
-    _, frames = next(iter(loader))
-    trainer.init_state(frames, seed=0)
+    indices, frames = next(iter(loader))
+    trainer.init_state(frames, seed=0,
+                       sample_text_embeds=trainer._texts(indices))
     losses = []
     for _ in range(epochs):
         m = trainer.train_loop(loader, rng)

@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 def main():
     pid, pcount, port, data_dir = (int(sys.argv[1]), int(sys.argv[2]),
                                    int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "ar"
     from sd_video_gen_tpu.parallel import multihost
     multihost.initialize(coordinator_address=f"localhost:{port}",
                          num_processes=pcount, process_id=pid)
@@ -34,7 +35,7 @@ def main():
     assert len(jax.devices()) == pcount * 4
 
     from tests.multihost_case import run_case
-    losses = run_case(data_dir, process_shard=(pid, pcount))
+    losses = run_case(data_dir, process_shard=(pid, pcount), mode=mode)
     print("TRAJECTORY " + json.dumps(losses), flush=True)
 
 

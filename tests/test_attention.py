@@ -95,8 +95,11 @@ def test_head_sharded_matches_reference(rng):
     ref = reference_attention(q, k, v)
     mesh = make_mesh("data=1,model=8")
     for force in (None, "flash_interpret"):
+        # fresh lambda per force: jax.jit(attention) would cache-hit the
+        # previous force's trace (the context is trace-time state, not part
+        # of the jit cache key) and never exercise the interpret path
         with head_sharded_attention(mesh, force=force):
-            out = jax.jit(attention)(q, k, v)
+            out = jax.jit(lambda a, b, c: attention(a, b, c))(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 

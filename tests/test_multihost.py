@@ -30,18 +30,14 @@ def test_is_coordinator_single_process():
     assert is_coordinator() is True
 
 
-def test_two_process_trajectory_matches_single_process(tmp_path):
-    """2 processes x 4 virtual CPU devices, joined by jax.distributed with a
-    localhost coordinator, must reproduce the single-process 8-device loss
-    trajectory: same global batches (loader process_shard slices +
-    global_batch_from_local reassembly), same SPMD program."""
+def _two_process_case(tmp_path, mode):
     from sd_video_gen_tpu.data import generate_bouncing_ball_tree
     from tests.multihost_case import run_case
 
     root = generate_bouncing_ball_tree(str(tmp_path / "data"),
                                        n_train_seqs=4, n_test_seqs=1,
                                        frames_per_seq=10, size=16)
-    single = run_case(root)
+    single = run_case(root, mode=mode)
 
     with socket.socket() as s:  # free localhost port for the coordinator
         s.bind(("localhost", 0))
@@ -52,7 +48,7 @@ def test_two_process_trajectory_matches_single_process(tmp_path):
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "multihost_worker.py")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), "2", str(port), root],
+        [sys.executable, worker, str(i), "2", str(port), root, mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(2)]
     outs = []
@@ -75,3 +71,19 @@ def test_two_process_trajectory_matches_single_process(tmp_path):
     # both processes observe the same (replicated) global losses
     np.testing.assert_allclose(trajs[0], trajs[1], rtol=1e-6)
     np.testing.assert_allclose(trajs[0], single, rtol=1e-5, atol=1e-6)
+
+
+def test_two_process_trajectory_matches_single_process(tmp_path):
+    """2 processes x 4 virtual CPU devices, joined by jax.distributed with a
+    localhost coordinator, must reproduce the single-process 8-device loss
+    trajectory: same global batches (loader process_shard slices +
+    global_batch_from_local reassembly), same SPMD program."""
+    _two_process_case(tmp_path, "ar")
+
+
+def test_two_process_text_mode(tmp_path):
+    """Text conditioning under --multihost: the per-process text-embedding
+    slice must be assembled globally exactly like the frame batch
+    (regression: a LOCAL embed slice was paired with the GLOBAL batch and
+    the first train step failed on mismatched leading dims)."""
+    _two_process_case(tmp_path, "text")

@@ -88,11 +88,17 @@ def main():
         up_s = jax.device_put(up, diffusion_param_shardings(mesh, up))
         vp_s = jax.device_put(vp, diffusion_param_shardings(mesh, vp))
         for attn in ("gspmd-einsum", "head-sharded"):
+            # NB: a fresh wrapper per leg — jax.jit(pipeline) with identical
+            # avals would CACHE-HIT the other leg's trace and silently skip
+            # the shard_map path (the context is a trace-time switch, not
+            # part of jit's cache key). Caught by review: the head-sharded
+            # leg originally validated the einsum program twice.
+            fresh = jax.jit(lambda a, b, c: pipeline(a, b, c))
             if attn == "head-sharded":
                 with head_sharded_attention(mesh):
-                    out = np.asarray(jax.jit(pipeline)(up_s, vp_s, img))
+                    out = np.asarray(fresh(up_s, vp_s, img))
             else:
-                out = np.asarray(jax.jit(pipeline)(up_s, vp_s, img))
+                out = np.asarray(fresh(up_s, vp_s, img))
             ok = bool(np.allclose(out, ref, rtol=2e-4, atol=2e-5))
             print(json.dumps({"mesh": f"model={n}", "attention": attn,
                               "checksum": float(np.abs(out).sum()),
