@@ -175,6 +175,13 @@ class head_sharded_attention:
     ``force``: None (per-shard measured dispatch) | 'flash' |
     'flash_interpret' (Pallas interpret mode — CPU-mesh tests); applies to
     the head-sharded path.
+
+    CACHE WARNING: the context is trace-time state and is NOT part of
+    jit's cache key. A jitted callable first traced OUTSIDE the context
+    (same function object, same avals) will cache-hit and silently skip
+    the shard_map path when called inside it — use a fresh function
+    object (e.g. a new lambda) per context state, or keep ALL calls of a
+    given jitted program under the same context, as the serving CLI does.
     """
 
     def __init__(self, mesh, axis: str = "model", force: str | None = None):
