@@ -222,10 +222,15 @@ int64_t fl_next_batch(void* handle, uint8_t* out_data, int64_t* out_indices,
   memcpy(out_data, b->data.data(), (size_t)n * L->clip_bytes);
   memcpy(out_indices, b->indices.data(), n * sizeof(int64_t));
   {
+    // delivered must advance under the SAME lock as the freelist push:
+    // a worker evaluating cv_free's predicate holds mu with the old
+    // `delivered`, and an increment+notify landing in that window (before
+    // the worker's atomic release-and-block) would be a lost wakeup —
+    // with one worker thread that deadlocks the epoch.
     std::lock_guard<std::mutex> lk(L->mu);
     L->freelist.push_back(b);
+    L->delivered.fetch_add(1);
   }
-  L->delivered.fetch_add(1);
   L->cv_free.notify_all();
   *served += 1;
   return n;

@@ -30,9 +30,11 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                       check=True, capture_output=True)
+    # run make unconditionally: it is a no-op when the .so is newer than
+    # fastloader.cpp, and it prevents silently loading a stale build after
+    # a source edit
+    subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                   check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.fl_open.restype = ctypes.c_void_p
     lib.fl_open.argtypes = [ctypes.c_char_p] + [ctypes.c_int64] * 6
@@ -50,22 +52,39 @@ def _load_lib():
     return lib
 
 
+def _scalar_label(x):
+    """Best-effort class id from a dataset's first tuple element; None when
+    the dataset has no class notion (e.g. ball yields frame-id strings)."""
+    while isinstance(x, (list, tuple)):
+        x = x[0]
+    if isinstance(x, (int, np.integer)):
+        return int(x)
+    return None
+
+
 def build_frame_cache(dataset, out_dir: str, stage: str) -> str:
-    """Serialize an indexable (indices, clip ndarray) dataset to the native
-    cache format: <stage>.bin (raw records) + <stage>.json (header)."""
+    """Serialize an indexable (label_or_index, clip ndarray) dataset to the
+    native cache format: <stage>.bin (raw records) + <stage>.json (header,
+    incl. per-clip labels so text-conditioned training keeps its class
+    ids — a clip INDEX fed to the text embedder is silently wrong)."""
     os.makedirs(out_dir, exist_ok=True)
     first = np.ascontiguousarray(dataset[0][1])
     shape, dtype = first.shape, first.dtype
     bin_path = os.path.join(out_dir, f"{stage}.bin")
+    labels = []
     with open(bin_path, "wb") as f:
         for i in range(len(dataset)):
-            _, clip = dataset[i]
+            lab, clip = dataset[i]
+            labels.append(_scalar_label(lab))
             clip = np.ascontiguousarray(clip, dtype=dtype)
             assert clip.shape == shape, "ragged clip in cache build"
             f.write(clip.tobytes())
+    hdr = {"n_clips": len(dataset), "shape": list(shape),
+           "dtype": str(dtype)}
+    if all(l is not None for l in labels):
+        hdr["labels"] = labels  # class datasets only (UCF): clip -> class id
     with open(os.path.join(out_dir, f"{stage}.json"), "w") as f:
-        json.dump({"n_clips": len(dataset), "shape": list(shape),
-                   "dtype": str(dtype)}, f)
+        json.dump(hdr, f)
     return bin_path
 
 
@@ -81,6 +100,11 @@ class NativeBatchLoader:
         self.shape = tuple(hdr["shape"])
         self.dtype = np.dtype(hdr["dtype"])
         self.n_clips = hdr["n_clips"]
+        # labels: clip -> class id, present for class datasets in caches
+        # built since the header gained them; None otherwise. The loader
+        # always YIELDS clip indices (its documented contract) — text-mode
+        # training maps indices through this table (train/trainer._texts)
+        self.labels = hdr.get("labels")
         self.clip_bytes = int(np.prod(self.shape)) * self.dtype.itemsize
         self.batch_size = batch_size
         self.epoch_ratio = epoch_ratio

@@ -132,7 +132,11 @@ class UCF101Dataset:
                  train: bool = True, frame_rate: float | None = 3,
                  frame_size: int = 128, flip: bool = False,
                  clips_per_video: int | None = None, seed: int = 0,
-                 step_between_clips: int = 1, cache_videos: int = 32):
+                 step_between_clips: int = 1, cache_videos: int = 32,
+                 sampling: str = "grouped"):
+        if sampling not in ("grouped", "clip"):
+            raise ValueError("sampling must be 'grouped' or 'clip'")
+        self.sampling = sampling
         self.frames_per_clip = frames_per_clip
         self.frame_rate = frame_rate
         self.frame_size = frame_size
@@ -172,8 +176,14 @@ class UCF101Dataset:
         return len(self.items)
 
     def epoch_order(self, rng: np.random.Generator) -> np.ndarray:
-        """Video-grouped order: videos shuffled, clips within a video
-        sequential — keeps the decode cache hot (see module docstring)."""
+        """Epoch sampling order consumed by BatchLoader.
+
+        ``sampling='grouped'`` (default): videos shuffled, clips within a
+        video sequential — keeps the decode cache hot (module docstring).
+        ``sampling='clip'``: a uniform clip-level permutation, the
+        reference's RandomSampler statistics (at ~0 cache hit rate)."""
+        if self.sampling == "clip":
+            return rng.permutation(len(self))
         order = rng.permutation(len(self.videos))
         return np.concatenate([
             np.arange(*self._video_item_ranges[v]) for v in order]) \
@@ -206,7 +216,8 @@ class UCF101Dataset:
         return [label] * self.frames_per_clip, np.ascontiguousarray(frames)
 
     @classmethod
-    def from_args(cls, cfg, args, stage: str) -> "UCF101Dataset":
+    def from_args(cls, cfg, args, stage: str,
+                  exact_frames: int | None = None) -> "UCF101Dataset":
         # directory dispatch mirroring trainers/trainer.py:372-387
         if args.folder is not None:
             data_dir = args.folder
@@ -221,9 +232,18 @@ class UCF101Dataset:
         label_dir = getattr(
             args, "ucf_labels",
             "data/UCF101TrainTestSplits-RecognitionTask/ucfTrainTestlist")
-        n = cfg.frames_per_clip
-        if getattr(args, "train_mode", "ar") == "future":
-            n = cfg.frames_per_clip + cfg.frames_to_predict
+        n = exact_frames
+        if n is None:
+            n = cfg.frames_per_clip
+            # learned_tgt trains via the same future split (src drops the
+            # last k frames), so it needs the extended clips too — without
+            # them src would be empty and the model would train with zero
+            # conditioning context
+            if getattr(args, "train_mode", "ar") in ("future", "learned_tgt"):
+                n += cfg.frames_to_predict
+        # augmentation is a TRAIN-stage concern: flipping val/test clips
+        # would randomize validation losses and FVD GT statistics
         return cls(data_dir, label_dir, frames_per_clip=n, train=stage == "train",
                    frame_rate=cfg.fps, frame_size=cfg.frame_size,
-                   flip=bool(getattr(args, "flip", False)), seed=args.seed)
+                   flip=bool(getattr(args, "flip", False)) and stage == "train",
+                   seed=args.seed)

@@ -85,15 +85,36 @@ class FeatureStats:
             self.raw_prod = jnp.zeros((self.dim, self.dim), jnp.float32)
 
     def append(self, feats: jnp.ndarray) -> "FeatureStats":
-        f = feats.astype(jnp.float32)
-        return FeatureStats(self.dim, self.n + f.shape[0],
-                            self.raw_sum + f.sum(0),
-                            self.raw_prod + f.T @ f)
+        # HOST path (concrete arrays, the cross-batch streaming loops):
+        # accumulate in float64 — I3D logits are not zero-centered, so
+        # raw_prod entries reach ~1e6-1e7 over a few thousand clips and
+        # the population-cov subtraction in mean_cov cancels away most of
+        # f32's ~7 digits. Inside jit (per-batch stats, psum path) arrays
+        # are tracers and stay f32 — per-batch magnitudes are small and
+        # TPUs have no native f64; the f64 upgrade happens when those
+        # per-batch stats are merged on host.
+        if isinstance(feats, jax.core.Tracer):
+            f = feats.astype(jnp.float32)
+            return FeatureStats(self.dim, self.n + f.shape[0],
+                                self.raw_sum + f.sum(0),
+                                self.raw_prod + f.T @ f)
+        f = np.asarray(feats, np.float64)
+        return FeatureStats(self.dim, np.float64(self.n) + f.shape[0],
+                            np.asarray(self.raw_sum, np.float64) + f.sum(0),
+                            np.asarray(self.raw_prod, np.float64) + f.T @ f)
 
     def merge(self, other: "FeatureStats") -> "FeatureStats":
-        return FeatureStats(self.dim, self.n + other.n,
-                            self.raw_sum + other.raw_sum,
-                            self.raw_prod + other.raw_prod)
+        if isinstance(self.n, jax.core.Tracer) or isinstance(
+                other.n, jax.core.Tracer):
+            return FeatureStats(self.dim, self.n + other.n,
+                                self.raw_sum + other.raw_sum,
+                                self.raw_prod + other.raw_prod)
+        return FeatureStats(
+            self.dim, np.float64(self.n) + np.float64(other.n),
+            np.asarray(self.raw_sum, np.float64)
+            + np.asarray(other.raw_sum, np.float64),
+            np.asarray(self.raw_prod, np.float64)
+            + np.asarray(other.raw_prod, np.float64))
 
     def psum(self, axis_name: str) -> "FeatureStats":
         """All-reduce accumulators across a mesh axis (inside shard_map)."""
@@ -103,8 +124,14 @@ class FeatureStats:
                             jax.lax.psum(self.raw_prod, axis_name))
 
     def mean_cov(self):
-        mu = self.raw_sum / self.n
-        cov = self.raw_prod / self.n - jnp.outer(mu, mu)
+        if isinstance(self.n, jax.core.Tracer):
+            mu = self.raw_sum / self.n
+            return mu, self.raw_prod / self.n - jnp.outer(mu, mu)
+        # host: the raw_prod/n - mu mu^T subtraction is the catastrophic-
+        # cancellation step — always do it in float64
+        n = np.float64(self.n)
+        mu = np.asarray(self.raw_sum, np.float64) / n
+        cov = np.asarray(self.raw_prod, np.float64) / n - np.outer(mu, mu)
         return mu, cov
 
 

@@ -213,10 +213,14 @@ def main(argv=None):
         dec = dec.reshape(B, P, *dec.shape[1:])
         return jnp.concatenate([context_frames, dec], axis=1)
 
-    # GT clips span context + predicted horizon
-    eval_cfg = cfg.replace(frames_per_clip=cfg.frames_per_clip + args.pred_frames)
-    dataset = build_dataset(eval_cfg, args, "test" if args.mode != "train"
-                            else "train")
+    # GT clips span context + predicted horizon. exact_frames pins the clip
+    # length so build_dataset's mode-based extensions (future/learned_tgt,
+    # Kitti's unconditional +frames_to_predict) cannot stack on top of the
+    # horizon we already added here.
+    dataset = build_dataset(cfg, args, "test" if args.mode != "train"
+                            else "train",
+                            exact_frames=cfg.frames_per_clip
+                            + args.pred_frames)
     loader = BatchLoader(dataset, args.batch_clips, epoch_ratio=1.0,
                          shuffle=False, drop_last=False)
 

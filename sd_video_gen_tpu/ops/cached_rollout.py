@@ -149,6 +149,12 @@ def cached_rollout(cfg, params, context: jnp.ndarray,
     Returns (B, pred_frames, latent_dim) f32.
     """
     assert cfg.mode == "ar", "cached_rollout supports mode='ar'"
+    # the cached path implements the standard per-timestep PE only; serving
+    # a reference_batch-PE checkpoint through it would silently change the
+    # trained forward (the predict CLI also guards this at the flag level)
+    assert getattr(cfg, "pe_mode", "timestep") != "reference_batch", \
+        "cached_rollout does not implement pe_mode='reference_batch' -- " \
+        "use the full ar_rollout (--rollout full)"
     p = params["params"]
     H = cfg.num_heads
     D = cfg.model_width

@@ -284,11 +284,17 @@ class Trainer:
         self._shard_state()
 
     # -- loops --------------------------------------------------------------
+    # optional clip-index -> class-id table (NativeBatchLoader yields clip
+    # indices; its cache stores the labels separately — main() wires this)
+    label_table = None
+
     def _texts(self, indices):
         if self.text_embedder is None:
             return None
-        labels = jnp.asarray([i[0] if isinstance(i, (list, tuple)) else i
-                              for i in indices], jnp.int32)
+        ids = [i[0] if isinstance(i, (list, tuple)) else i for i in indices]
+        if self.label_table is not None:
+            ids = [self.label_table[int(i)] for i in ids]
+        labels = jnp.asarray(ids, jnp.int32)
         return self.text_embedder(labels)
 
     def _put_texts(self, indices):
@@ -528,28 +534,38 @@ class Trainer:
         return path
 
 
-def build_dataset(cfg: Config, args, stage: str):
-    """Dataset dispatch mirroring trainers/trainer.py:372-439."""
+def build_dataset(cfg: Config, args, stage: str, exact_frames: int | None = None):
+    """Dataset dispatch mirroring trainers/trainer.py:372-439.
+
+    ``exact_frames`` pins the clip length, overriding every mode-based
+    extension (future/learned_tgt add frames_to_predict; Kitti always
+    extends) — evaluation callers that compute their own GT horizon pass it
+    so the length policy has exactly one owner and cannot double-apply.
+    """
     from sd_video_gen_tpu.data import (BouncingBallDataset, KittiDataset,
                                        MovingMNISTDataset)
     name = args.dataset
     if name == "ball":
-        return BouncingBallDataset(num_frames=cfg.frames_per_clip,
+        return BouncingBallDataset(num_frames=exact_frames
+                                   or cfg.frames_per_clip,
                                    stride=cfg.stride, dir=args.folder,
                                    stage=stage, seed=args.seed)
     if name == "kitti":
         return KittiDataset(
-            num_frames=cfg.frames_per_clip + cfg.frames_to_predict,
+            num_frames=exact_frames
+            or (cfg.frames_per_clip + cfg.frames_to_predict),
             stride=1, dir=args.folder, stage=stage,
             frame_size=cfg.frame_size, seed=args.seed)
     if name == "mnist":
-        return MovingMNISTDataset(num_frames=cfg.frames_per_clip,
+        return MovingMNISTDataset(num_frames=exact_frames
+                                  or cfg.frames_per_clip,
                                   stride=cfg.stride,
                                   path=args.folder or "mnist_test_seq.npy",
                                   stage=stage, seed=args.seed)
     if "ucf" in name:
         from sd_video_gen_tpu.data.ucf101 import UCF101Dataset
-        return UCF101Dataset.from_args(cfg, args, stage)
+        return UCF101Dataset.from_args(cfg, args, stage,
+                                       exact_frames=exact_frames)
     raise ValueError(f"unknown dataset {name}")
 
 
@@ -628,6 +644,13 @@ def main(argv=None):
                           vae_params=vae_params)
         if args.native_cache:
             from sd_video_gen_tpu.data.native_loader import NativeBatchLoader
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "--native_cache has no per-process sharding yet: under "
+                    "--multihost every process would yield the SAME batches "
+                    "and the assembled global batch would duplicate every "
+                    "clip process_count times. Use the Python loader "
+                    "(BatchLoader shards per process) for multi-host runs.")
             train_loader = NativeBatchLoader(
                 args.native_cache, "train", cfg.batch_size,
                 epoch_ratio=cfg.epoch_ratio, flip=args.flip, seed=args.seed,
@@ -636,6 +659,15 @@ def main(argv=None):
                 args.native_cache, "test", cfg.batch_size,
                 epoch_ratio=cfg.epoch_ratio, seed=args.seed,
                 n_threads=max(1, cfg.num_workers))
+            if args.train_mode == "text":
+                if train_loader.labels is None:
+                    raise ValueError(
+                        "--train_mode text needs class labels, but this "
+                        "native cache has none (built from a no-class "
+                        "dataset, or predates label storage — rebuild it "
+                        "with data.native_loader)")
+                # native loaders yield clip indices; map them to class ids
+                trainer.label_table = train_loader.labels
         else:
             if args.latent_cache:
                 from sd_video_gen_tpu.data.latent_cache import LatentCacheDataset

@@ -95,3 +95,18 @@ def test_int8_quantized_cached_rollout(setup):
     assert np.median(rel) < 0.08, float(np.median(rel))
     corr = np.corrcoef(base.ravel(), quant.ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+def test_cached_rollout_rejects_reference_pe():
+    """pe_mode='reference_batch' checkpoints must not silently serve with
+    timestep PE through the cached path (review regression)."""
+    import dataclasses
+
+    import pytest
+
+    cfg = FrameTransformerConfig(latent_dim=16, dim_model=16, num_heads=2,
+                                 num_encoder_layers=1, num_decoder_layers=1,
+                                 dropout_p=0.0)
+    cfg = dataclasses.replace(cfg, pe_mode="reference_batch")
+    with pytest.raises(AssertionError, match="reference_batch"):
+        cached_rollout(cfg, {"params": {}}, jnp.zeros((1, 3, 16)), 2)

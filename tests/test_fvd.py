@@ -161,3 +161,22 @@ def test_i3d_temporal_minimum_is_nine():
     v9 = jnp.tile(v, (1, reps, 1, 1, 1))[:, :9]
     f9 = np.asarray(i3d.apply(ip, preprocess_videos(v9)))
     assert np.isfinite(f9).all()
+
+
+def test_feature_stats_f64_host_accumulation():
+    """Cross-batch accumulation on host must be float64: I3D logits are not
+    zero-centered, so the population-cov subtraction cancels away most of
+    f32's digits at realistic sample counts (review regression)."""
+    rng = np.random.default_rng(0)
+    # large common offset: exactly the cancellation-hostile regime
+    feats = rng.standard_normal((4000, 8)).astype(np.float32) + 300.0
+    st = FeatureStats(8)
+    for i in range(0, 4000, 50):
+        st = st.append(jnp.asarray(feats[i:i + 50]))
+    assert st.raw_prod.dtype == np.float64
+    mu, cov = st.mean_cov()
+    ref_mu = feats.astype(np.float64).mean(0)
+    d = feats.astype(np.float64) - ref_mu
+    ref_cov = d.T @ d / len(feats)
+    np.testing.assert_allclose(np.asarray(mu), ref_mu, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(cov), ref_cov, rtol=1e-6, atol=1e-6)

@@ -143,3 +143,25 @@ def test_ucf_avi_to_native_cache_to_train_step(tmp_path):
     assert hist[-1]["train_loss"] < hist[0]["train_loss"] * 1.5  # training
     loader.close()
     val.close()
+
+
+def test_cache_labels_for_class_dataset(tmp_path):
+    """Class datasets store clip->class-id labels in the cache header; the
+    ball dataset (frame-id strings, no class notion) stores none — and the
+    loader always yields clip INDICES either way (its documented
+    contract)."""
+    class TinyClassDS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return [i % 2] * 5, np.full((5, 8, 8, 3), i, np.uint8)
+
+    build_frame_cache(TinyClassDS(), str(tmp_path / "c"), "train")
+    loader = NativeBatchLoader(str(tmp_path / "c"), "train", batch_size=2,
+                               shuffle=False, n_threads=1)
+    assert loader.labels == [0, 1, 0, 1]
+    ids = [i for idx, _ in loader for i in idx]
+    assert ids == [0, 1, 2, 3]  # indices, not labels
+    loader.close()
+

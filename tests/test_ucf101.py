@@ -178,3 +178,45 @@ def test_flip(ucf_tree):
     # flip invisible; just check it runs and returns valid shapes)
     _, frames = ds[1]
     assert frames.shape == (4, 32, 32, 3)
+
+
+def test_from_args_policies(ucf_tree):
+    """Length/augment policy ownership (review regressions): learned_tgt
+    extends like future; test-stage never flips; exact_frames overrides
+    every extension so eval callers cannot double-extend."""
+    from types import SimpleNamespace
+
+    from sd_video_gen_tpu.config import Config
+
+    data_dir, label_dir = ucf_tree
+    cfg = Config(config_name="t", frames_per_clip=4, frames_to_predict=3,
+                 frame_size=32, fps=6)
+    mk = lambda mode, stage, exact=None: UCF101Dataset.from_args(
+        cfg, SimpleNamespace(folder=data_dir, dataset="ucf",
+                             ucf_labels=label_dir, train_mode=mode,
+                             flip=True, seed=0), stage, exact_frames=exact)
+    assert mk("ar", "train").frames_per_clip == 4
+    assert mk("future", "train").frames_per_clip == 7
+    # learned_tgt trains via the future split: without the extension its
+    # encoder input would be EMPTY (zero conditioning context)
+    assert mk("learned_tgt", "train").frames_per_clip == 7
+    # exact_frames pins the length regardless of mode
+    assert mk("future", "test", exact=9).frames_per_clip == 9
+    # flip is train-only: flipping val clips randomizes val loss / FVD GT
+    assert mk("ar", "train").flip is True
+    assert mk("ar", "test").flip is False
+
+
+def test_sampling_clip_mode(ucf_tree):
+    """sampling='clip' (documented reference-parity mode) must exist and
+    yield a uniform clip permutation instead of the video-grouped order."""
+    data_dir, label_dir = ucf_tree
+    ds = UCF101Dataset(data_dir, label_dir, frames_per_clip=4, train=True,
+                       frame_rate=6, frame_size=32, sampling="clip")
+    order = ds.epoch_order(np.random.default_rng(0))
+    assert sorted(order.tolist()) == list(range(len(ds)))
+    grouped = UCF101Dataset(data_dir, label_dir, frames_per_clip=4,
+                            train=True, frame_rate=6, frame_size=32)
+    gorder = grouped.epoch_order(np.random.default_rng(0))
+    assert sorted(gorder.tolist()) == list(range(len(grouped)))
+    assert order.tolist() != gorder.tolist()
