@@ -45,7 +45,10 @@ def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = Non
     lo = cfg.frame_size
 
     if hi_res is None:
-        h_lo = lo // 8
+        # the VAE owns its compression factor (2 blocks in the test VAEs
+        # -> /2, SD's 4 blocks -> /8); hard-coding lo//8 scrambles the
+        # latent grid for any non-SD topology
+        h_lo = pipe.vae.latent_hw
         uncond = pipe.uncond_embeddings(1)
 
         def refine_native(rp, flat_latents, step=0):

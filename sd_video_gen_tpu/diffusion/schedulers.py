@@ -42,9 +42,14 @@ class DDIMSchedule:
         acp = _alphas_cumprod(num_train_timesteps, beta_start, beta_end)
         self.num_inference_steps = num_inference_steps
         step = num_train_timesteps // num_inference_steps
-        # timesteps = arange(0, N, N//S) reversed (diffusers 0.2.3 semantics)
+        # timesteps = arange(0, N, N//S) reversed (diffusers 0.2.3 semantics).
+        # NB: when S does not divide N this array is LONGER than S (e.g.
+        # S=7 -> 8 entries); diffusers iterates the array, not range(S), so
+        # loops must run n_steps iterations or they skip the final
+        # low-noise step(s).
         timesteps = np.arange(0, num_train_timesteps, step)[::-1].copy()
         self.timesteps = timesteps
+        self.n_steps = len(timesteps)
         prev_timesteps = timesteps - step
         final_alpha = 1.0 if set_alpha_to_one else acp[0]
         self.alpha = jnp.asarray(acp[timesteps], jnp.float32)

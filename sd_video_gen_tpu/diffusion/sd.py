@@ -166,13 +166,17 @@ class SDPipeline:
                             latents=None, rng=None):
         """Full LMS loop from noise (sd_utils:97-126). NHWC latents."""
         B = text_embeddings.shape[0] // 2
-        sched = LMSSchedule(num_inference_steps)
         if latents is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             latents = jax.random.normal(
                 rng, (B, height // 8, width // 8, self.unet_cfg.in_channels))
-        key = ("lms", num_inference_steps, latents.shape)
+        static_gs0 = (isinstance(guidance_scale, (int, float))
+                      and guidance_scale == 0.0)
+        key = ("lms", num_inference_steps, latents.shape, static_gs0)
         if key not in self._jit_cache:
+            # LMSSchedule construction runs ~S*4 scipy quadratures — build
+            # it only when compiling, not on every cached call
+            sched = LMSSchedule(num_inference_steps)
             timesteps = jnp.asarray(sched.timesteps, jnp.float32)
 
             @jax.jit
@@ -184,7 +188,8 @@ class SDPipeline:
                     x, hist = carry
                     xin = sched.scale_input(x, i)
                     eps = self._unet_eps(unet_params, xin, timesteps[i],
-                                         text_embeddings, guidance_scale)
+                                         text_embeddings,
+                                         0.0 if static_gs0 else guidance_scale)
                     x, hist = sched.step(eps, i, x, hist)
                     return (x, hist), None
 
@@ -215,8 +220,10 @@ class SDPipeline:
                                  text_embeddings, guidance_scale)
             return sched.step(eps, i, x), None
 
+        # sched.n_steps, not num_inference_steps: diffusers iterates the
+        # timesteps ARRAY, which is longer than S when S doesn't divide N
         x, _ = jax.lax.scan(body, x,
-                            jnp.arange(start_step, num_inference_steps))
+                            jnp.arange(start_step, sched.n_steps))
         return x
 
     def gen_i2i_latents(self, text_embeddings, height=512, width=512,
@@ -226,13 +233,20 @@ class SDPipeline:
         """DDIM partial denoise from start_step (sd_utils:222-267):
         add_noise at timesteps[start_step], then the remaining steps."""
         B = text_embeddings.shape[0] // 2
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
         if latents is None:
-            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            # split: the add_noise draw below must be INDEPENDENT of the
+            # initial latents (one key for both made noise == latents
+            # bitwise, a correlated 'mixture' with std ~1.39)
+            rng, lat_key = jax.random.split(rng)
             latents = jax.random.normal(
-                rng, (B, height // 8, width // 8, self.unet_cfg.in_channels))
+                lat_key,
+                (B, height // 8, width // 8, self.unet_cfg.in_channels))
         sched = DDIMSchedule(num_inference_steps)
+        static_gs0 = (isinstance(guidance_scale, (int, float))
+                      and guidance_scale == 0.0)
         key = ("ddim", num_inference_steps, start_step, latents.shape,
-               return_all_latents)
+               return_all_latents, static_gs0)
         if key not in self._jit_cache:
             timesteps = jnp.asarray(sched.timesteps.copy(), jnp.float32)
 
@@ -247,18 +261,19 @@ class SDPipeline:
 
                 def body(x, i):
                     eps = self._unet_eps(unet_params, x, timesteps[i],
-                                         text_embeddings, guidance_scale)
+                                         text_embeddings,
+                                         0.0 if static_gs0 else guidance_scale)
                     x = sched.step(eps, i, x)
                     return x, x if return_all_latents else None
 
                 x, hist = jax.lax.scan(
-                    body, x, jnp.arange(start_step, num_inference_steps))
+                    body, x, jnp.arange(start_step, sched.n_steps))
                 if return_all_latents:
                     return jnp.concatenate([x0[None], hist], axis=0)
                 return x
 
             self._jit_cache[key] = run
-        noise_rng = rng if rng is not None else jax.random.PRNGKey(0)
+        noise_rng = rng
         out = self._jit_cache[key](self.unet_params, latents, text_embeddings,
                                    jnp.float32(guidance_scale), noise_rng)
         if return_all_latents:

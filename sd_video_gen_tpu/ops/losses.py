@@ -85,9 +85,15 @@ def bipatch_nce_loss(pred: jnp.ndarray, target: jnp.ndarray,
 
     def _dir(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         # diag pairs keep gradient through b; off-diag pairs stop it.
-        s_full = jnp.einsum("mpc,mqc->mpq", a, b)
+        # Only the DIAGONAL of the with-gradient similarity is ever used,
+        # so compute it directly as an (M,P) einsum instead of a second
+        # full (M,P,P) matmul (halves the contrastive term's matmul cost;
+        # identical values and gradients: the -d_sg/+diag_grad pair is
+        # numerically zero but swaps the diagonal's gradient path to b).
         s_sg = jnp.einsum("mpc,mqc->mpq", a, jax.lax.stop_gradient(b))
-        scores = (s_full * eye + s_sg * (1.0 - eye)) / temperature
+        diag_grad = jnp.einsum("mpc,mpc->mp", a, b)
+        d_sg = jnp.diagonal(s_sg, axis1=-2, axis2=-1)
+        scores = (s_sg + (diag_grad - d_sg)[:, :, None] * eye) / temperature
         return _ce(scores)
 
     return 0.5 * (_dir(g, p) + _dir(p, g))

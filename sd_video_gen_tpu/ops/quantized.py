@@ -133,10 +133,18 @@ def _mha(x_q, x_kv, a, num_heads, mask=None):
     return qdense(o, a["out"]["q"], a["out"]["bias"])
 
 
-@partial(jax.jit, static_argnames=("num_heads", "max_len"))
+@partial(jax.jit, static_argnames=("num_heads", "max_len", "pe_mode"))
 def quantized_ar_apply(qp, src, tgt, tgt_mask=None, num_heads: int = 8,
-                       max_len: int = 64):
-    """Mirror of FrameTransformer mode='ar' forward with int8 matmuls."""
+                       max_len: int = 64, pe_mode: str = "timestep"):
+    """Mirror of FrameTransformer mode='ar' forward with int8 matmuls.
+
+    Implements the standard per-timestep positional encoding ONLY; a
+    checkpoint served under pe_mode='reference_batch' (--reference_pe
+    compat) must use the f32 path — the predict CLI enforces this at the
+    flag level, and library callers hit the assert below instead of a
+    silently different forward."""
+    assert pe_mode == "timestep", \
+        "quantized_ar_apply implements pe_mode='timestep' only"
     D = qp["embedding"]["q"].values.shape[1]
     scale = math.sqrt(D)
     pos = sinusoidal_positions(max_len, D)

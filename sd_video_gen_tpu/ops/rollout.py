@@ -67,7 +67,13 @@ def ar_rollout(apply_fn: Callable, params, context: jnp.ndarray,
     frames = context[:, 1:]  # drop SOS
     hist = jnp.concatenate([frames[:, :-1], first[:, None]], axis=1)
     buf = hist[:, -window:]
-    if buf.shape[1] < window:  # left-pad by repeating the first frame
+    if buf.shape[1] < window:
+        # left-pad by repeating the first frame so the scan buffer has a
+        # static shape. Documented deviation for SHORT contexts only (the
+        # reference always feeds exactly frames_per_clip frames, where no
+        # padding occurs): its Python loop would attend a shorter window,
+        # here the duplicated first frame participates in attention and
+        # shifts positional slots until real frames fill the buffer.
         pad = jnp.repeat(buf[:, :1], window - buf.shape[1], axis=1)
         buf = jnp.concatenate([pad, buf], axis=1)
 

@@ -153,9 +153,11 @@ def make_predict_fn(model, codec, pred_frames: int, window: int,
         from sd_video_gen_tpu.ops.quantized import quantized_ar_apply
         H = model.cfg.num_heads
 
+        pe = getattr(model.cfg, "pe_mode", "timestep")
+
         def apply_fn(params, src, tgt, tgt_mask=None, **kw):
             return quantized_ar_apply(params, src, tgt, tgt_mask=tgt_mask,
-                                      num_heads=H)
+                                      num_heads=H, pe_mode=pe)
     if mode == "diff":
         base_apply = apply_fn
 

@@ -27,7 +27,12 @@ def test_native_res_refiner():
                                     intermediate_size=32, max_length=8))
     apply_fn, params = make_denoise_refiner(cfg, start_step=2, pipeline=pipe,
                                             num_inference_steps=4, hi_res=None)
-    L = 4 * (32 // 8) ** 2  # native SD latent grid for 32px
+    # the flat latents live on the PIPE VAE's grid (2-block tiny VAE ->
+    # /2 compression, latent_hw 16 at 32px) — the refiner must derive the
+    # grid from the VAE, not assume SD's /8 (review regression: a
+    # hard-coded //8 scrambled/crashed any non-SD topology)
+    assert pipe.vae.latent_hw == 16
+    L = 4 * pipe.vae.latent_hw ** 2
     flat = jnp.asarray(np.random.default_rng(0).standard_normal((2, L)),
                        jnp.float32)
     out = jax.jit(apply_fn)(params, flat)

@@ -107,3 +107,15 @@ def test_lms_full_loop_denoises(rng):
         eps = (x - x0) / s.sigmas[i]  # oracle eps under sigma-parameterization
         x, hist = s.step(eps, i, x, hist)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-3)
+
+
+def test_ddim_nondivisor_steps_runs_full_array():
+    """When S doesn't divide 1000 the 0.2.3-era timesteps array is LONGER
+    than S (arange semantics); loops must iterate the array, not range(S),
+    or the final low-noise step is skipped (review regression)."""
+    s = DDIMSchedule(7)
+    assert s.n_steps == len(s.timesteps) == 8  # arange(0,1000,142) -> 8
+    assert s.timesteps[-1] == 0                # final step reaches t=0
+    assert len(s.alpha) == len(s.alpha_prev) == 8
+    # divisor case unchanged
+    assert DDIMSchedule(10).n_steps == 10

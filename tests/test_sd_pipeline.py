@@ -199,3 +199,36 @@ def test_rollout_with_refine_hook_composition(pipe, rng):
     # frame 1 contract holds WITH the refine hook attached
     np.testing.assert_allclose(np.asarray(cached[:, 0]),
                                np.asarray(refined[:, 0]), rtol=2e-4, atol=2e-4)
+
+
+def test_gen_i2i_noise_independent_of_init_latents(pipe):
+    """Regression: latents=None reused ONE key for the init-latents draw and
+    the add_noise draw, making 'noise' bitwise equal to the latents (a
+    correlated scalar mixture, std ~1.39 instead of 1)."""
+    from sd_video_gen_tpu.diffusion.schedulers import DDIMSchedule
+
+    k = jax.random.PRNGKey(7)
+    out = pipe.gen_i2i_latents(pipe.uncond_embeddings(1), height=16, width=16,
+                               num_inference_steps=4, guidance_scale=0.0,
+                               start_step=2, rng=k, return_all_latents=True)
+    x0 = np.asarray(out[0])  # post-add_noise starting sample
+    k_noise, k_lat = jax.random.split(k)
+    lat = np.asarray(jax.random.normal(
+        k_lat, (1, 2, 2, pipe.unet_cfg.in_channels)))
+    noise = np.asarray(jax.random.normal(k_noise, lat.shape, lat.dtype))
+    a = float(DDIMSchedule(4).alpha[2])
+    np.testing.assert_allclose(
+        x0, (np.sqrt(a) * lat + np.sqrt(1 - a) * noise)[0],
+        rtol=1e-5, atol=1e-6)
+    assert abs(float(np.std(x0)) - 1.0) < 0.35  # not the 1.39-std mixture
+
+
+def test_i2i_scan_nondivisor_steps(pipe, rng):
+    """S=7 (non-divisor): the scan must run to t=0 (8 entries) and stay
+    finite — range(S) loops dropped the final step."""
+    lat = jnp.asarray(rng.standard_normal((1, 4, 4, 4)), jnp.float32)
+    out = pipe.i2i_scan(pipe.unet_params, lat, pipe.uncond_embeddings(1),
+                        guidance_scale=0.0, start_step=3,
+                        num_inference_steps=7,
+                        noise_rng=jax.random.PRNGKey(0))
+    assert out.shape == lat.shape and np.isfinite(np.asarray(out)).all()
