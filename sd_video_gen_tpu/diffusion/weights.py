@@ -290,9 +290,7 @@ def convert_vae(sd: dict, block_out=(128, 256, 512, 512),
     enc: dict = {"conv_in": _conv(sd, "encoder.conv_in"),
                  "norm_out": _norm(sd, "encoder.conv_norm_out"),
                  "conv_out": _conv(sd, "encoder.conv_out")}
-    in_ch = block_out[0]
     for i in range(n):
-        out_ch = block_out[i]
         for j in range(layers_per_block):
             p = f"encoder.down_blocks.{i}.resnets.{j}"
             enc[f"down_{i}_res_{j}"] = _resnet(
@@ -300,7 +298,6 @@ def convert_vae(sd: dict, block_out=(128, 256, 512, 512),
         if i < n - 1:
             enc[f"down_{i}_downsample"] = {
                 "conv": _conv(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv")}
-        in_ch = out_ch
     enc["mid"] = {
         "resnet_0": _resnet(sd, "encoder.mid_block.resnets.0", False),
         "attn": _attn(sd, "encoder.mid_block.attentions.0"),

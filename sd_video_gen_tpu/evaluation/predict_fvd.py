@@ -114,7 +114,9 @@ def main(argv=None):
     from sd_video_gen_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     parser = build_arg_parser()
-    parser.add_argument("--train_mode", type=str, default="ar")
+    parser.add_argument("--train_mode", type=str, default="ar",
+                        choices=["ar", "future", "diff", "text",
+                                 "learned_tgt"])
     parser.add_argument("--codec", type=str, default="pixel")
     parser.add_argument("--naive", type=lambda s: s.lower() == "true",
                         default=False)
@@ -128,10 +130,29 @@ def main(argv=None):
                         help="serve with the reference's per-batch-index "
                              "positional encoding (compat for converted "
                              "reference checkpoints; see predict CLI)")
+    parser.add_argument("--text_table", type=str, default=None,
+                        help="npy table from tools/export_text_embeddings.py "
+                             "(exact MiniLM class embeddings); default is "
+                             "the hash-seeded fallback table")
+    # the reference eval harness hardcodes start_step=48 (2 refine steps of
+    # 50) — the predict CLI's default 40 would silently over-denoise eval
+    parser.set_defaults(denoise_start_step=48)
     args = parser.parse_args(argv)
+    if args.mesh and args.fvd_api != "streaming":
+        parser.error("--mesh implies --fvd_api streaming (psum'd "
+                     "FeatureStats)")
     if args.pred_frames <= 1:
         args.pred_frames = 4
     cfg = load_config(args.config, args.config_dir)
+    # I3D's temporal stack needs >= 9 frames end to end (stride-2 conv,
+    # two stride-2 pools, then a kernel-2 VALID avg pool): shorter clips
+    # produce an empty time axis and a silent NaN FVD
+    total = cfg.frames_per_clip + args.pred_frames
+    if total < 9:
+        parser.error(
+            f"frames_per_clip ({cfg.frames_per_clip}) + pred_frames "
+            f"({args.pred_frames}) = {total} < 9, the I3D temporal minimum "
+            "— raise --pred_frames or use a config with longer clips")
 
     vae_params = None
     if args.codec == "vae" and args.vae_weights:
@@ -169,7 +190,8 @@ def main(argv=None):
     i3d, i3d_params = load_i3d(args.i3d_weights)
     predict = make_predict_fn(model, codec, args.pred_frames,
                               window=cfg.frames_per_clip,
-                              mode=args.train_mode, refiner=refiner)
+                              mode=args.train_mode, refiner=refiner,
+                              future_horizon=cfg.frames_to_predict)
 
     if args.mesh:
         # device-parallel feature extraction: per-device I3D shards + psum
@@ -194,7 +216,8 @@ def main(argv=None):
     embedder = None
     if args.train_mode == "text":
         from sd_video_gen_tpu.models.text_embed import ClassNameEmbedder
-        embedder = ClassNameEmbedder(101, 384)
+        embedder = (ClassNameEmbedder.from_npy(args.text_table)
+                    if args.text_table else ClassNameEmbedder(101, 384))
 
     def gen_video(params, context_frames, indices):
         """context uint8 -> [context + decoded predictions] uint8 video.
@@ -228,9 +251,22 @@ def main(argv=None):
     logits_real, logits_gen = [], []
     n_clips = 0
     mse_sum, mse_n = 0.0, 0  # pixel MSE in [0,1] over the predicted horizon
+    n_data = 1
+    if args.mesh:
+        from sd_video_gen_tpu.parallel.mesh import parse_mesh_spec, AXIS_DATA
+        n_data = parse_mesh_spec(args.mesh)[AXIS_DATA]
     for bi, (indices, frames) in enumerate(loader):
         if n_clips >= args.max_clips:
             break
+        if args.mesh and frames.shape[0] % n_data:
+            # ragged tail under a data-parallel mesh: trim to a shardable
+            # size instead of crashing after most clips were processed
+            keep = (frames.shape[0] // n_data) * n_data
+            print(f"[mesh] trimming ragged tail batch {frames.shape[0]} "
+                  f"-> {keep} (data axis {n_data})")
+            if keep == 0:
+                continue
+            frames, indices = frames[:keep], list(indices)[:keep]
         frames = jnp.asarray(frames)
         context = frames[:, :cfg.frames_per_clip]
         gen = gen_video(params, context, indices)
@@ -239,9 +275,7 @@ def main(argv=None):
         mse_sum += float(jnp.sum(diff * diff))
         mse_n += diff.size
         if sharded_stats is not None:
-            if args.fvd_api != "streaming":
-                raise ValueError("--mesh implies --fvd_api streaming "
-                                 "(psum'd FeatureStats)")
+            # (--mesh + --fvd_api batch is rejected at parse time)
             st_real = st_real.merge(sharded_stats(i3d_params, frames))
             st_gen = st_gen.merge(sharded_stats(i3d_params, gen))
         elif args.fvd_api == "streaming":

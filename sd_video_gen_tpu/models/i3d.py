@@ -62,6 +62,9 @@ class Unit3D(nn.Module):
                               c.param_dtype)
             var = self.param("bn_var", nn.initializers.ones, shape,
                              c.param_dtype)
+            # eps=1e-5 pins the REFERENCE torch module (pytorch_i3d.py:70
+            # 'nn.BatchNorm3d(..., eps=1e-5, momentum=0.001)' — the 0.001
+            # there is MOMENTUM, not eps; the TF-slim original used 1e-3)
             x = (x - mean) * jax.lax.rsqrt(var + 1e-5) * g + b
         if self.relu:
             x = nn.relu(x)

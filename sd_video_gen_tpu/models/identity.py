@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 class IdentityModel(nn.Module):
     @nn.compact
-    def __call__(self, src, tgt, tgt_mask=None, text_ids=None, text_embeds=None,
+    def __call__(self, src, tgt, tgt_mask=None, text_embeds=None,
                  deterministic: bool = True):
         # Predict next frame == last input frame, broadcast over tgt length.
         last = src[:, -1:, :]

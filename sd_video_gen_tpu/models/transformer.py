@@ -181,8 +181,11 @@ class DecoderLayer(nn.Module):
 class FrameTransformer(nn.Module):
     """Seq2seq encoder-decoder over flattened frame latents.
 
-    Call: ``model.apply(params, src, tgt, tgt_mask=mask, text_ids=ids,
+    Call: ``model.apply(params, src, tgt, tgt_mask=mask, text_embeds=emb,
     deterministic=..., rngs={'dropout': key})`` -> (B, T_tgt, latent_dim).
+    Text conditioning takes pre-computed embeddings (text_embeds) — the
+    on-device id->embedding lookup lives in models/text_embed.py and runs
+    in the caller (trainer/predict), keeping this module table-free.
     All tensors are batch-first (the reference permuted to seq-first purely for
     an old torch API — models/transformer.py:58-61).
     """
@@ -190,7 +193,7 @@ class FrameTransformer(nn.Module):
     cfg: FrameTransformerConfig
 
     @nn.compact
-    def __call__(self, src, tgt, tgt_mask=None, text_ids=None,
+    def __call__(self, src, tgt, tgt_mask=None,
                  text_embeds=None, deterministic: bool = True):
         c = self.cfg
         D = c.model_width

@@ -127,7 +127,7 @@ def show_frames(imgs: np.ndarray, is_pred: list[bool], fullscreen: bool):
 
 def make_predict_fn(model, codec, pred_frames: int, window: int,
                     mode: str = "ar", refiner=None, rollout: str = "full",
-                    int8: bool = False):
+                    int8: bool = False, future_horizon: int | None = None):
     """One jitted program: frames -> (context latents, predicted latents).
 
     ``mode='text'`` takes text embeddings as a third argument
@@ -143,6 +143,11 @@ def make_predict_fn(model, codec, pred_frames: int, window: int,
     """
     if rollout == "cached" and mode != "ar":
         raise ValueError("--rollout cached supports --train_mode ar only")
+    if mode in ("future", "learned_tgt") and future_horizon is not None \
+            and pred_frames > future_horizon:
+        raise ValueError(
+            f"pred_frames {pred_frames} exceeds the model's trained future "
+            f"horizon {future_horizon} (frames_to_predict)")
     if int8 and mode not in ("ar", "diff"):
         raise ValueError("--int8 supports --train_mode ar/diff only")
 
@@ -180,10 +185,17 @@ def make_predict_fn(model, codec, pred_frames: int, window: int,
         kwargs = {"text_embeds": text_embeds} if text_embeds is not None else {}
         refine_fn = (None if refine_apply is None
                      else lambda x, i: refine_apply(rparams, x, i))
-        if mode == "future":
+        if mode in ("future", "learned_tgt"):
+            # single shot: the model's last `frames_to_predict` outputs are
+            # future frames 1..k, so evaluating fewer than k must take the
+            # FIRST pred_frames of that span — slicing [-pred_frames:]
+            # would score frames (k-p+1..k) against GT frames (1..p), a
+            # silent temporal shift. learned_tgt ignores tgt and decodes
+            # its learned queries the same single-shot way.
             y_in = latents[:, 1:]  # drop SOS; single shot
-            preds = model.apply(params, y_in, y_in, tgt_mask=None,
-                                **kwargs)[:, -pred_frames:]
+            out = model.apply(params, y_in, y_in, tgt_mask=None, **kwargs)
+            k = future_horizon or pred_frames
+            preds = out[:, -k:][:, :pred_frames]
         elif rollout == "cached":
             from sd_video_gen_tpu.ops.cached_rollout import cached_rollout
             preds = cached_rollout(model.cfg, params, latents, pred_frames,
@@ -206,7 +218,8 @@ def main(argv=None):
     enable_compilation_cache()
     parser = build_arg_parser()
     parser.add_argument("--train_mode", type=str, default="ar",
-                        choices=["ar", "future", "diff", "text"])
+                        choices=["ar", "future", "diff", "text",
+                                 "learned_tgt"])
     parser.add_argument("--codec", type=str, default="pixel",
                         choices=["pixel", "vae"])
     parser.add_argument("--naive", type=lambda s: s.lower() == "true",
@@ -228,6 +241,10 @@ def main(argv=None):
                              "index positional encoding so converted "
                              "reference checkpoints reproduce their trained "
                              "forward exactly (PARITY.md 'Known deviations')")
+    parser.add_argument("--text_table", type=str, default=None,
+                        help="npy table from tools/export_text_embeddings.py "
+                             "(exact MiniLM class embeddings) for text mode; "
+                             "default is the hash-seeded fallback table")
     parser.add_argument("--timing", action="store_true",
                         help="print a per-stage wall-clock JSON line at exit "
                              "(predict incl. compile on first batch / "
@@ -310,12 +327,15 @@ def main(argv=None):
                               window=cfg.frames_per_clip,
                               mode=args.train_mode, refiner=refine_fn,
                               rollout=args.rollout,
-                              int8=args.int8 and not args.naive)
+                              int8=args.int8 and not args.naive,
+                              future_horizon=cfg.frames_to_predict)
 
     embedder = None
     if args.train_mode == "text":
         from sd_video_gen_tpu.models.text_embed import ClassNameEmbedder
-        embedder = ClassNameEmbedder(101, 384)
+        embedder = (ClassNameEmbedder.from_npy(args.text_table)
+                    if getattr(args, "text_table", None)
+                    else ClassNameEmbedder(101, 384))
 
     if mesh is not None:
         from sd_video_gen_tpu.parallel import batch_sharding, replicated

@@ -140,3 +140,51 @@ def test_predict_cli_mesh_serving(tmp_path, monkeypatch):
               "--batch_clips", "2", "--mesh", mesh,
               "--save_output", "True"])
         assert os.path.isdir(tmp_path / "outputs")
+
+
+def test_future_mode_slice_alignment(rng):
+    """pred_frames < frames_to_predict must take the FIRST pred_frames of
+    the model's trained k-frame horizon — slicing [-pred_frames:] scored
+    future frames (k-p+1..k) against GT frames (1..p), a silent temporal
+    shift (review regression)."""
+    codec, frames = _codec_and_frames(rng, T=6)
+    k = 3
+    mc = FrameTransformerConfig(latent_dim=codec.latent_dim, dim_model=32,
+                                num_heads=4, num_encoder_layers=1,
+                                num_decoder_layers=1, dropout_p=0.0,
+                                mode="future")
+    model = FrameTransformer(mc)
+    lat = codec.encode_batch(frames, use_sos=False)
+    params = model.init(jax.random.PRNGKey(0), lat, lat)
+    predict = make_predict_fn(model, codec, pred_frames=2, window=6,
+                              mode="future", future_horizon=k)
+    _, preds = predict(params, frames)
+    full = model.apply(params, lat, lat, tgt_mask=None)
+    np.testing.assert_allclose(np.asarray(preds),
+                               np.asarray(full[:, -k:][:, :2]),
+                               rtol=1e-5, atol=1e-5)
+    # over-asking beyond the trained horizon is refused
+    import pytest
+    with pytest.raises(ValueError, match="horizon"):
+        make_predict_fn(model, codec, pred_frames=4, window=6,
+                        mode="future", future_horizon=k)
+
+
+def test_learned_tgt_single_shot_predict(rng):
+    """learned_tgt is single-shot like future (the model decodes its own
+    learned queries); it previously fell through to the AR sliding-window
+    rollout with meaningless feedback (review regression)."""
+    codec, frames = _codec_and_frames(rng, T=6)
+    mc = FrameTransformerConfig(latent_dim=codec.latent_dim, dim_model=32,
+                                num_heads=4, num_encoder_layers=1,
+                                num_decoder_layers=1, dropout_p=0.0,
+                                mode="learned_tgt", frames_to_predict=3)
+    model = FrameTransformer(mc)
+    lat = codec.encode_batch(frames, use_sos=False)
+    params = model.init(jax.random.PRNGKey(0), lat, lat)
+    predict = make_predict_fn(model, codec, pred_frames=3, window=6,
+                              mode="learned_tgt", future_horizon=3)
+    _, preds = predict(params, frames)
+    full = model.apply(params, lat, lat, tgt_mask=None)
+    np.testing.assert_allclose(np.asarray(preds), np.asarray(full[:, -3:]),
+                               rtol=1e-5, atol=1e-5)
