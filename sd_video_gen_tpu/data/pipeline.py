@@ -52,24 +52,26 @@ class BatchLoader:
                     f"across {pcount} processes")
             if not (0 <= pid < pcount):
                 raise ValueError(f"process_shard index {pid} out of range")
-            mult = max(shard_multiple or 0, pcount)
-            if batch_size % mult:
-                # refuse loudly: trimming every FULL batch to a multiple of
-                # the mesh requirement would silently drop clips (or yield
-                # empty epochs when batch_size < mult)
-                raise ValueError(
-                    f"global batch_size {batch_size} must be a multiple of "
-                    f"shard_multiple {mult} (the mesh batch-axis "
-                    "requirement) — every batch must shard evenly")
         self.process_shard = process_shard
         # ragged (short) batches are trimmed to a multiple of this so the
         # global batch stays shardable over the whole device mesh (the
-        # trainer passes the mesh's data-axis requirement); defaults to
-        # pcount. Full batches are never trimmed — the ctor check above
-        # guarantees batch_size divides evenly.
+        # trainer passes the mesh's data-axis requirement) — on SINGLE
+        # host too: an untrimmed short batch crashes device_put on a
+        # data-axis mesh. Full batches are never trimmed; the check below
+        # refuses batch sizes that cannot shard evenly.
         self.shard_multiple = (shard_multiple if shard_multiple is not None
                                else (process_shard[1] if process_shard
                                      else None))
+        self._mult = max(self.shard_multiple or 1,
+                         process_shard[1] if process_shard else 1)
+        if self._mult > 1 and batch_size % self._mult:
+            # refuse loudly: trimming every FULL batch to a multiple of
+            # the mesh requirement would silently drop clips (or yield
+            # empty epochs when batch_size < mult)
+            raise ValueError(
+                f"global batch_size {batch_size} must be a multiple of "
+                f"shard_multiple {self._mult} (the mesh batch-axis "
+                "requirement) — every batch must shard evenly")
 
     def _epoch_order(self) -> np.ndarray:
         n = len(self.dataset)
@@ -86,8 +88,7 @@ class BatchLoader:
 
     def __len__(self) -> int:
         take = max(1, int(len(self.dataset) * self.epoch_ratio))
-        mult = (max(self.shard_multiple, self.process_shard[1])
-                if self.process_shard is not None else 1)
+        mult = self._mult
         nfull, rem = divmod(take, self.batch_size)
         if nfull and self.drop_last:
             return nfull
@@ -110,13 +111,13 @@ class BatchLoader:
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(nb)]
         batches = [b for b in batches if len(b)]
-        if self.process_shard is not None:
-            # each process takes its contiguous slice of every global batch;
-            # a ragged short batch (dataset smaller than one batch) is
-            # trimmed to the largest multiple of pcount so all processes
-            # stay consistent instead of silently yielding an empty epoch.
-            pid, pcount = self.process_shard
-            mult = max(self.shard_multiple, pcount)
+        if self._mult > 1 or self.process_shard is not None:
+            # trim ragged short batches to the largest mesh-shardable size
+            # (all processes stay consistent; single-host short batches
+            # stay device_put-able on a data-axis mesh), and each process
+            # takes its contiguous slice of every global batch.
+            pid, pcount = self.process_shard or (0, 1)
+            mult = self._mult
             out = []
             for b in batches:
                 m = (len(b) // mult) * mult  # mesh-shardable size
@@ -132,23 +133,39 @@ class BatchLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer is gone —
+            # an abandoned iterator (break / next(iter(...))) must not
+            # leave the worker blocked forever holding decoded batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
         def worker():
             try:
                 for b in batches:
-                    q.put(self._assemble(b))
-                q.put(SENTINEL)
+                    if stop.is_set() or not _put(self._assemble(b)):
+                        return
+                _put(SENTINEL)
             except BaseException as e:  # propagate decode errors to consumer
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                t.join()
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=5.0)

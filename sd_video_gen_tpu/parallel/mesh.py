@@ -33,7 +33,15 @@ def parse_mesh_spec(spec: str | None, n_devices: int | None = None) -> dict[str,
     out: dict[str, int] = {}
     for part in spec.split(","):
         k, v = part.split("=")
-        out[k.strip()] = int(v)
+        k = k.strip()
+        if k not in (AXIS_DATA, AXIS_MODEL):
+            # a typo'd axis would otherwise silently fall back to model=1
+            # (pure data parallelism) whenever the remaining product
+            # matches the device count
+            raise ValueError(
+                f"unknown mesh axis '{k}' in spec '{spec}' — valid axes: "
+                f"{AXIS_DATA}, {AXIS_MODEL}")
+        out[k] = int(v)
     out.setdefault(AXIS_DATA, 1)
     out.setdefault(AXIS_MODEL, 1)
     total = out[AXIS_DATA] * out[AXIS_MODEL]

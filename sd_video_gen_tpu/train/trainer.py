@@ -163,7 +163,10 @@ def make_eval_step(model, codec, loss_w: LossWeights, cfg: Config,
         pred_k, target_k = _predictions_and_targets(
             model, params, latents, k, mode, rngs=None,
             text_embeds=text_embeds, deterministic=True)
-        _, comps = composite_loss(pred_k, target_k, loss_w)
+        # f32 loss math like the train side: bf16 GDL diffs / NCE logits
+        # would make val_loss (and save_best decisions) noisy
+        _, comps = composite_loss(pred_k.astype(jnp.float32),
+                                  target_k.astype(jnp.float32), loss_w)
         return comps
 
     def eval_fn(params, frames, text_embeds=None):
@@ -213,6 +216,7 @@ class Trainer:
         self.loss_w = LossWeights.from_config(cfg)
         self.text_embedder = (ClassNameEmbedder(num_classes, mc.text_embed_dim)
                               if mode == "text" else None)
+        self._text_table_np = None
 
         # multi-host SPMD: every process runs this same Trainer; batches are
         # assembled from per-process loader shards (parallel/multihost.py),
@@ -284,18 +288,18 @@ class Trainer:
         self._shard_state()
 
     # -- loops --------------------------------------------------------------
-    # optional clip-index -> class-id table (NativeBatchLoader yields clip
-    # indices; its cache stores the labels separately — main() wires this)
-    label_table = None
-
     def _texts(self, indices):
         if self.text_embedder is None:
             return None
         ids = [i[0] if isinstance(i, (list, tuple)) else i for i in indices]
-        if self.label_table is not None:
-            ids = [self.label_table[int(i)] for i in ids]
-        labels = jnp.asarray(ids, jnp.int32)
-        return self.text_embedder(labels)
+        # host-side table lookup: the embeddings must be host arrays for
+        # the multihost global-batch assembly anyway, and a device-side
+        # take would force a device->host round trip per step in
+        # _put_texts (the exact per-step sync pattern this trainer exists
+        # to avoid)
+        if self._text_table_np is None:
+            self._text_table_np = np.asarray(self.text_embedder.table)
+        return self._text_table_np[np.asarray(ids, np.int64)]
 
     def _put_texts(self, indices):
         """Text embeddings aligned with the ASSEMBLED frame batch: under
@@ -449,6 +453,11 @@ class Trainer:
         for bi, (indices, frames) in enumerate(loader):
             if bi >= max_batches:
                 break
+            if np.ndim(frames) == 3:
+                raise ValueError(
+                    "in-training FVD needs PIXEL frames (I3D consumes "
+                    "video), but the loader yields pre-encoded latents — "
+                    "--latent_cache cannot be combined with --fvd_every")
             gb = self._put_batch(frames)
             te = self._put_texts(indices)
             out = fvd_batch(self.state.params, codec_params,
@@ -477,7 +486,11 @@ class Trainer:
                 val_m = self.validation_loop(val_loader)
                 metrics = {"epoch": epoch, **train_m, **val_m,
                            "train_loss": train_m.get("total_train", 0.0),
-                           "val_loss": val_m.get("total_val", 0.0)}
+                           # an EMPTY val epoch must not report 0.0: under
+                           # save_best that would pin best_val to 0.0 and
+                           # crown a bogus 'best' forever (NaN never
+                           # compares < best)
+                           "val_loss": val_m.get("total_val", float("nan"))}
                 # periodic in-training FVD (trainer_fvd.py:500 epoch%5==1 gate)
                 if fvd_every and fvd_i3d is not None and (
                         fvd_every == 1 or epoch % fvd_every == 1):
@@ -534,6 +547,23 @@ class Trainer:
         return path
 
 
+class _LabelMappedLoader:
+    """Yield (labels, frames) from a NativeBatchLoader that yields clip
+    indices, using ITS OWN split's clip->class table — the same contract
+    BatchLoader provides for class datasets."""
+
+    def __init__(self, loader):
+        self.loader = loader
+        self.labels = loader.labels
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for ids, frames in self.loader:
+            yield [self.labels[int(i)] for i in ids], frames
+
+
 def build_dataset(cfg: Config, args, stage: str, exact_frames: int | None = None):
     """Dataset dispatch mirroring trainers/trainer.py:372-439.
 
@@ -545,9 +575,15 @@ def build_dataset(cfg: Config, args, stage: str, exact_frames: int | None = None
     from sd_video_gen_tpu.data import (BouncingBallDataset, KittiDataset,
                                        MovingMNISTDataset)
     name = args.dataset
+    # future/learned_tgt train on the split src=clip[:-k], target=clip[-k:]
+    # — clips must carry the k extra frames or the encoder input is EMPTY
+    # (the UCF/Kitti branches already extend; ball/mnist crashed instead)
+    ext = (cfg.frames_to_predict
+           if getattr(args, "train_mode", "ar") in ("future", "learned_tgt")
+           else 0)
     if name == "ball":
         return BouncingBallDataset(num_frames=exact_frames
-                                   or cfg.frames_per_clip,
+                                   or (cfg.frames_per_clip + ext),
                                    stride=cfg.stride, dir=args.folder,
                                    stage=stage, seed=args.seed)
     if name == "kitti":
@@ -558,7 +594,7 @@ def build_dataset(cfg: Config, args, stage: str, exact_frames: int | None = None
             frame_size=cfg.frame_size, seed=args.seed)
     if name == "mnist":
         return MovingMNISTDataset(num_frames=exact_frames
-                                  or cfg.frames_per_clip,
+                                  or (cfg.frames_per_clip + ext),
                                   stride=cfg.stride,
                                   path=args.folder or "mnist_test_seq.npy",
                                   stage=stage, seed=args.seed)
@@ -660,14 +696,18 @@ def main(argv=None):
                 epoch_ratio=cfg.epoch_ratio, seed=args.seed,
                 n_threads=max(1, cfg.num_workers))
             if args.train_mode == "text":
-                if train_loader.labels is None:
+                if train_loader.labels is None or val_loader.labels is None:
                     raise ValueError(
                         "--train_mode text needs class labels, but this "
                         "native cache has none (built from a no-class "
                         "dataset, or predates label storage — rebuild it "
                         "with data.native_loader)")
-                # native loaders yield clip indices; map them to class ids
-                trainer.label_table = train_loader.labels
+                # native loaders yield clip indices; each SPLIT has its own
+                # clip->class table (mapping val indices through the train
+                # table would condition validation on wrong classes), so
+                # wrap each loader to yield labels like BatchLoader does
+                train_loader = _LabelMappedLoader(train_loader)
+                val_loader = _LabelMappedLoader(val_loader)
         else:
             if args.latent_cache:
                 from sd_video_gen_tpu.data.latent_cache import LatentCacheDataset
@@ -681,9 +721,11 @@ def main(argv=None):
             # batches shard over the mesh's DATA axis only (batch_sharding),
             # so that — not total device count — is the divisibility
             # requirement (data=2,model=4 on 8 devices needs multiples of 2,
-            # not 8); lcm with process count keeps per-process slices even
-            mult = (math.lcm(trainer.mesh.shape.get("data", 1), shard[1])
-                    if shard else None)
+            # not 8); lcm with process count keeps per-process slices even.
+            # Passed on SINGLE host too: an untrimmed ragged batch would
+            # crash device_put on a data-axis mesh.
+            data_ax = trainer.mesh.shape.get("data", 1)
+            mult = math.lcm(data_ax, shard[1]) if shard else data_ax
             train_loader = BatchLoader(train_ds, cfg.batch_size,
                                        epoch_ratio=cfg.epoch_ratio,
                                        seed=args.seed, process_shard=shard,

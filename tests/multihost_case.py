@@ -29,6 +29,21 @@ def run_case(data_dir: str, process_shard=None, epochs: int = 2,
                       checkpoint_dir=data_dir + "/ckpt_unused",
                       use_wandb=False)
     ds = BouncingBallDataset(5, 1, data_dir, "train", seed=3)
+    if mode == "text":
+        # ball's native indices are frame-id ints, out of range for the
+        # class table — text mode needs valid class ids per clip
+        class LabeledDS:
+            def __init__(self, inner):
+                self.inner = inner
+
+            def __len__(self):
+                return len(self.inner)
+
+            def __getitem__(self, i):
+                _, frames = self.inner[i]
+                return i % 64, frames
+
+        ds = LabeledDS(ds)
     loader = BatchLoader(ds, cfg.batch_size, shuffle=False, seed=7,
                          process_shard=process_shard)
 

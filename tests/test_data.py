@@ -150,3 +150,24 @@ def test_batchloader_len_matches_iter_under_sharding():
     # unsharded short batch unchanged: one short batch
     ld = BatchLoader(ds[:3], 8, seed=0)
     assert len(ld) == len(list(ld)) == 1
+
+
+def test_batchloader_single_host_ragged_trim():
+    """shard_multiple must bite WITHOUT process_shard too: a single-host
+    ragged batch that doesn't divide the mesh data axis would crash
+    device_put (review regression)."""
+    ds = [(i, np.zeros((5, 4, 4, 3), np.uint8)) for i in range(6)]
+    ld = BatchLoader(ds, 4, shard_multiple=2, seed=0, drop_last=False)
+    batches = list(ld)
+    assert len(ld) == len(batches) == 2
+    assert batches[0][1].shape[0] == 4
+    assert batches[1][1].shape[0] == 2   # ragged 2 stays (divides mult)
+    # ragged 1 trims to zero -> batch dropped, len agrees
+    ld = BatchLoader(ds[:5], 4, shard_multiple=2, seed=0, drop_last=False)
+    batches = list(ld)
+    assert len(ld) == len(batches) == 1
+    assert batches[0][1].shape[0] == 4
+    # batch_size itself must divide the multiple
+    import pytest
+    with pytest.raises(ValueError, match="multiple of shard_multiple"):
+        BatchLoader(ds, 5, shard_multiple=2, seed=0)

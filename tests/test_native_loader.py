@@ -165,3 +165,32 @@ def test_cache_labels_for_class_dataset(tmp_path):
     assert ids == [0, 1, 2, 3]  # indices, not labels
     loader.close()
 
+
+
+def test_label_mapped_loader_per_split(tmp_path):
+    """Text-mode native training maps clip indices through EACH split's own
+    label table (mapping val indices through the train table conditioned
+    validation on wrong classes — review regression)."""
+    from sd_video_gen_tpu.train.trainer import _LabelMappedLoader
+
+    class DS:
+        def __init__(self, labels):
+            self._labels = labels
+
+        def __len__(self):
+            return len(self._labels)
+
+        def __getitem__(self, i):
+            return [self._labels[i]] * 5, np.full((5, 8, 8, 3), i, np.uint8)
+
+    build_frame_cache(DS([3, 1, 4, 1]), str(tmp_path / "c"), "train")
+    build_frame_cache(DS([9, 2]), str(tmp_path / "c"), "test")
+    tr = _LabelMappedLoader(NativeBatchLoader(str(tmp_path / "c"), "train",
+                                              batch_size=2, shuffle=False,
+                                              n_threads=1))
+    vl = _LabelMappedLoader(NativeBatchLoader(str(tmp_path / "c"), "test",
+                                              batch_size=2, shuffle=False,
+                                              n_threads=1))
+    assert [l for ids, _ in tr for l in ids] == [3, 1, 4, 1]
+    assert [l for ids, _ in vl for l in ids] == [9, 2]
+    tr.loader.close(), vl.loader.close()

@@ -205,3 +205,47 @@ def test_save_best_not_gated_by_ckpt_every(tmp_path, monkeypatch):
     trainer.state = None
     trainer.fit(tr, tr, epochs=3, save_best=False, ckpt_every=5)
     assert len(calls) == 1
+
+
+def test_build_dataset_extends_future_modes(tmp_path):
+    """future/learned_tgt need clips of fpc + frames_to_predict for every
+    dataset — ball/mnist previously produced EMPTY encoder inputs at the
+    default fpc == frames_to_predict (review regression)."""
+    from types import SimpleNamespace
+
+    from sd_video_gen_tpu.train.trainer import build_dataset
+
+    root = generate_bouncing_ball_tree(str(tmp_path / "d"), 2, 1, 16, 32)
+    cfg = _tiny_cfg(frames_per_clip=5, frames_to_predict=3)
+    mk = lambda mode, exact=None: build_dataset(
+        cfg, SimpleNamespace(dataset="ball", folder=root, seed=0,
+                             train_mode=mode), "train", exact_frames=exact)
+    assert mk("ar")[0][1].shape[0] == 5
+    assert mk("future")[0][1].shape[0] == 8
+    assert mk("learned_tgt")[0][1].shape[0] == 8
+    assert mk("future", exact=6)[0][1].shape[0] == 6  # eval override wins
+
+
+def test_empty_val_epoch_does_not_crown_best(tmp_path, monkeypatch):
+    """An empty validation epoch must not report val_loss=0.0 — under
+    save_best that pinned best_val to 0.0 forever (review regression)."""
+    root = generate_bouncing_ball_tree(str(tmp_path / "data"), 2, 1, 10, 32)
+    cfg = _tiny_cfg(epochs=1)
+    mesh = make_mesh("data=1,model=1", devices=jax.devices()[:1])
+    trainer = Trainer(cfg, mode="ar", mesh=mesh,
+                      checkpoint_dir=str(tmp_path / "ckpt"), use_wandb=False)
+    tr = BatchLoader(BouncingBallDataset(5, 1, root, "train"), 2, seed=1)
+
+    class EmptyLoader:
+        def __len__(self):
+            return 0
+
+        def __iter__(self):
+            return iter(())
+
+    saved = []
+    monkeypatch.setattr(trainer, "_save",
+                        lambda m, b: saved.append(m["val_loss"]))
+    hist = trainer.fit(tr, EmptyLoader(), epochs=1, save_best=True)
+    assert np.isnan(hist[-1]["val_loss"])
+    assert trainer.best_val == float("inf")  # nan never crowned a best

@@ -67,7 +67,24 @@ def test_fvd_validation_text_mode(tmp_path):
     mesh = make_mesh("data=1,model=1", devices=jax.devices()[:1])
     trainer = Trainer(cfg, mode="text", mesh=mesh, num_classes=16,
                       checkpoint_dir=str(tmp_path / "ckpt"), use_wandb=False)
-    vl = BatchLoader(BouncingBallDataset(5, 1, root, "test"), 2, seed=1)
+
+    class LabeledDS:
+        """Ball clips with VALID class ids (ball's own indices are frame-id
+        ints, out of range for a 16-class table — the host-side lookup is
+        strict where the old device gather silently clipped)."""
+
+        def __init__(self, ds):
+            self.ds = ds
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            _, frames = self.ds[i]
+            return i % 16, frames
+
+    vl = BatchLoader(LabeledDS(BouncingBallDataset(5, 1, root, "test")), 2,
+                     seed=1)
 
     import flax.linen as nn
 
