@@ -55,7 +55,7 @@ import jax.numpy as jnp
 # SDVG_BENCH_INT8=1 switches the pixel-scenario rollout to the int8
 # quantized serving path (ops/quantized.py): measured 41.5K vs 29.8K fps at
 # B=256 on v5e. Default stays bf16.
-USE_INT8 = bool(os.environ.get("SDVG_BENCH_INT8"))
+USE_INT8 = os.environ.get("SDVG_BENCH_INT8", "").lower() not in ("", "0", "false")
 # Comma list to run a subset, e.g. SDVG_BENCH_SCENARIOS=pixel,train
 ONLY = set(filter(None, os.environ.get("SDVG_BENCH_SCENARIOS", "").split(",")))
 

@@ -49,7 +49,11 @@ def _build_clips(entries, num_frames: int, stride: int,
     """Non-overlapping clips of num_frames at `stride` spacing, same parent."""
     indices, clips = [], []
     span = num_frames * stride
-    for i in range(0, len(entries) - span + 1, span):
+    # the LAST clip only needs (num_frames-1)*stride + 1 entries — bounding
+    # by the full span dropped valid trailing clips for stride > 1 (in the
+    # extreme, a dataset with exactly one strided clip came out empty)
+    need = (num_frames - 1) * stride + 1
+    for i in range(0, len(entries) - need + 1, span):
         idx_list, names = [], []
         anchor_parent = entries[i][1]
         for k in range(num_frames):
@@ -135,6 +139,12 @@ class MovingMNISTDataset:
         if shuffle:
             rng = np.random.default_rng(seed)
             active = active[rng.permutation(len(active))]
+        need = (num_frames - 1) * stride + 1
+        if active.shape[1] < need:
+            raise ValueError(
+                f"MovingMNIST clips have {active.shape[1]} frames; "
+                f"num_frames={num_frames} at stride={stride} needs {need} "
+                "— silently truncating would train on wrong horizons")
         active = active[:, : num_frames * stride : stride]
         self.data = np.repeat(active[..., None], 3, axis=-1)  # grayscale -> 3ch
 

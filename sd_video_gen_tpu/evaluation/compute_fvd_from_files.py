@@ -24,20 +24,37 @@ from sd_video_gen_tpu.evaluation.fvd import frechet_distance, preprocess_videos
 from sd_video_gen_tpu.evaluation.predict_fvd import load_i3d
 
 
+def _frame_key(path: str):
+    """Numeric-aware order: '10.png' must sort AFTER '9.png' — plain
+    lexicographic sorting temporally scrambles the unpadded names this
+    repo's own predict CLI writes (outputs/<n>/<i>.png)."""
+    stem = os.path.splitext(os.path.basename(path))[0]
+    digits = "".join(c for c in stem if c.isdigit())
+    return (int(digits) if digits else 0, stem)
+
+
 def _load_sequences(root: str, seq_len: int, max_seqs: int,
                     size: int) -> np.ndarray:
-    paths = sorted(glob.glob(os.path.join(root, "**", "*.png"),
-                             recursive=True) +
-                   glob.glob(os.path.join(root, "**", "*.jpg"),
-                             recursive=True))
-    n = min(len(paths) // seq_len, max_seqs)
+    paths = (glob.glob(os.path.join(root, "**", "*.png"), recursive=True)
+             + glob.glob(os.path.join(root, "**", "*.jpg"), recursive=True))
+    # group by directory: chunking one global list would splice sequences
+    # across video boundaries whenever a video's frame count is not a
+    # multiple of seq_len
+    by_dir: dict = {}
+    for pth in paths:
+        by_dir.setdefault(os.path.dirname(pth), []).append(pth)
     seqs = []
-    for i in range(n):
-        frames = [cv2.resize(cv2.imread(p), (size, size))
-                  for p in paths[i * seq_len:(i + 1) * seq_len]]
-        seqs.append(np.stack(frames))
+    for d in sorted(by_dir):
+        frames_paths = sorted(by_dir[d], key=_frame_key)
+        for i in range(len(frames_paths) // seq_len):
+            if len(seqs) >= max_seqs:
+                break
+            frames = [cv2.resize(cv2.imread(p), (size, size))
+                      for p in frames_paths[i * seq_len:(i + 1) * seq_len]]
+            seqs.append(np.stack(frames))
     if not seqs:
-        raise FileNotFoundError(f"no frame images under {root}")
+        raise FileNotFoundError(
+            f"no complete {seq_len}-frame sequences under {root}")
     return np.stack(seqs)  # (N, T, H, W, 3)
 
 

@@ -18,6 +18,7 @@ import argparse
 import importlib.util
 import os
 import shutil
+import sys
 import subprocess
 
 
@@ -47,8 +48,11 @@ def run_film(work_dir: str, times: int = 2,
             "Google FILM (frame_interpolation) is not installed; "
             "interpolated_frames/ will not be produced. Install "
             "github.com/google-research/frame-interpolation to enable.")
+    # sys.executable, not bare "python": availability was checked with
+    # find_spec in THIS interpreter, which may differ from whatever
+    # "python" resolves to on PATH
     subprocess.run(
-        ["python", "-m", "frame_interpolation.eval.interpolator_cli",
+        [sys.executable, "-m", "frame_interpolation.eval.interpolator_cli",
          "--pattern", f"{work_dir}/counter_*", "--model_path", model_path,
          "--times_to_interpolate", str(times)], check=True)
 

@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -27,6 +29,10 @@ from sd_video_gen_tpu.config import build_arg_parser, load_config
 def build_latent_cache(dataset, codec, out_dir: str, stage: str,
                        batch: int = 16) -> str:
     os.makedirs(out_dir, exist_ok=True)
+    # one compiled program per batch shape instead of op-by-op eager
+    # dispatch — over the high-latency tunnel an un-jitted VAE encode of a
+    # whole dataset pays ~50ms RPC per op
+    encode = jax.jit(codec.encode_frames)
     lats, indices = [], []
     for start in range(0, len(dataset), batch):
         frames = []
@@ -36,7 +42,7 @@ def build_latent_cache(dataset, codec, out_dir: str, stage: str,
                            else [int(idx)])
             frames.append(fr)
         x = jnp.asarray(np.stack(frames))
-        lats.append(np.asarray(codec.encode_frames(x)))
+        lats.append(np.asarray(encode(x)))
     arr = np.concatenate(lats, axis=0).astype(np.float32)
     path = os.path.join(out_dir, f"{stage}_latents.npy")
     np.save(path, arr)
@@ -58,6 +64,14 @@ def main(argv=None):
         from sd_video_gen_tpu.diffusion.weights import (load_state_dict,
                                                         convert_vae)
         vae_params = convert_vae(load_state_dict(args.vae_weights))
+    elif args.codec == "vae":
+        # a latent cache is a PERSISTENT artifact; encoding it with a
+        # random-init VAE writes garbage to disk that silently poisons
+        # every later training run
+        warnings.warn(
+            "--codec vae without --vae_weights: building the latent cache "
+            "with a RANDOM-INIT VAE — the cached latents are meaningless "
+            "for real training", stacklevel=1)
     codec = make_codec(cfg, args.codec, vae_params=vae_params)
 
     from sd_video_gen_tpu.train.trainer import build_dataset

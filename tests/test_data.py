@@ -171,3 +171,31 @@ def test_batchloader_single_host_ragged_trim():
     import pytest
     with pytest.raises(ValueError, match="multiple of shard_multiple"):
         BatchLoader(ds, 5, shard_multiple=2, seed=0)
+
+
+def test_build_clips_stride_trailing(tmp_path):
+    """stride>1: the last clip only needs (num_frames-1)*stride+1 entries —
+    the full-span bound dropped valid trailing clips (review regression)."""
+    from sd_video_gen_tpu.data.synthetic import generate_bouncing_ball_tree
+
+    root = generate_bouncing_ball_tree(str(tmp_path / "d"), 1, 0, 9, 16)
+    ds = BouncingBallDataset(num_frames=5, stride=2, dir=root, stage="train",
+                             seed=0)
+    assert len(ds) == 1  # frames 0,2,4,6,8 form one complete strided clip
+    assert ds[0][1].shape == (5, 16, 16, 3)
+
+
+def test_mnist_refuses_truncation(tmp_path):
+    import pytest
+
+    from sd_video_gen_tpu.data.frame_datasets import MovingMNISTDataset
+
+    arr = np.zeros((20, 4, 32, 32), np.uint8)
+    p = tmp_path / "mnist_test_seq.npy"
+    np.save(p, arr)
+    with pytest.raises(ValueError, match="needs"):
+        MovingMNISTDataset(num_frames=25, path=str(p), stage="train")
+    with pytest.raises(ValueError, match="needs"):
+        MovingMNISTDataset(num_frames=15, stride=2, path=str(p),
+                           stage="train")
+    MovingMNISTDataset(num_frames=10, stride=2, path=str(p), stage="train")

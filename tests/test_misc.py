@@ -83,3 +83,28 @@ def test_profiler_trace_writes(tmp_path):
     t.start(); t.stop()
     s = t.summary()
     assert s["steps_timed"] == 1 and s["step_ms_mean"] >= 0
+
+
+def test_fvd_from_files_numeric_order_and_grouping(tmp_path):
+    """Frame files sort numerically (predict writes unpadded <i>.png — a
+    lexicographic sort temporally scrambles videos) and sequences never
+    straddle directory boundaries (review regressions)."""
+    import cv2
+
+    from sd_video_gen_tpu.evaluation.compute_fvd_from_files import (
+        _frame_key, _load_sequences)
+
+    assert sorted(["10.png", "9.png", "2.png"], key=_frame_key) == \
+        ["2.png", "9.png", "10.png"]
+    # two videos x 5 frames; seq_len 4 must yield one seq per video (no
+    # splice), each in numeric order
+    for vid in ("a", "b"):
+        d = tmp_path / vid
+        d.mkdir()
+        for i in range(5):
+            img = np.full((8, 8, 3), i if vid == "a" else 100 + i, np.uint8)
+            cv2.imwrite(str(d / f"{i}.png"), img)
+    seqs = _load_sequences(str(tmp_path), seq_len=4, max_seqs=10, size=8)
+    assert seqs.shape == (2, 4, 8, 8, 3)
+    np.testing.assert_array_equal(seqs[0, :, 0, 0, 0], [0, 1, 2, 3])
+    np.testing.assert_array_equal(seqs[1, :, 0, 0, 0], [100, 101, 102, 103])
