@@ -36,6 +36,12 @@ def generate_bouncing_ball_tree(root: str, n_train_seqs: int = 4,
                                 n_test_seqs: int = 2, frames_per_seq: int = 10,
                                 size: int = 64, seed: int = 0) -> str:
     """Write a reference-layout PNG tree under ``root``; returns ``root``."""
+    if frames_per_seq > 999:
+        # the reference frame-id layout is <seq:04d><frame:03d>; a 4-digit
+        # frame id silently scrambles the loader's sort order
+        raise ValueError("frames_per_seq > 999 breaks the 3-digit frame-id "
+                         "naming contract (loader sorts on the last 3 "
+                         "digits)")
     rng = np.random.default_rng(seed)
     seq_id = 0
     for stage, n in (("train", n_train_seqs), ("test", n_test_seqs)):

@@ -27,8 +27,17 @@ from sd_video_gen_tpu.models.vae import AutoencoderKL, VAEConfig, sample_latent
 
 class VAECodec:
     def __init__(self, frame_size: int, params=None, cfg: VAEConfig | None = None,
-                 dtype=jnp.float32):
-        self.cfg = cfg or VAEConfig(dtype=dtype)
+                 dtype=None):
+        import dataclasses
+        if cfg is None:
+            self.cfg = VAEConfig(dtype=dtype or jnp.float32)
+        elif dtype is not None and dtype != cfg.dtype:
+            # an EXPLICIT dtype override must compose with a custom cfg —
+            # silently ignoring it ran the VAE at the wrong precision
+            # (dtype=None means: keep the cfg's dtype)
+            self.cfg = dataclasses.replace(cfg, dtype=dtype)
+        else:
+            self.cfg = cfg
         self.frame_size = frame_size
         # spatial compression = 2^(n_blocks - 1): 8x for the 4-block SD VAE
         factor = 2 ** (len(self.cfg.block_out_channels) - 1)
@@ -41,7 +50,6 @@ class VAECodec:
             # The VAE is fully convolutional, so init at a small spatial size
             # regardless of frame_size (a 512px init forward costs minutes on
             # a slow host for identical params).
-            factor = 2 ** (len(self.cfg.block_out_channels) - 1)
             dummy = min(frame_size, 8 * factor)
             x = jnp.zeros((1, dummy, dummy, 3), jnp.float32)
             # jit: one dispatch instead of per-op round trips (the dev TPU

@@ -63,5 +63,19 @@ class ClassNameEmbedder:
         return cls(t.shape[0], t.shape[1], table=t)
 
     def __call__(self, labels: jnp.ndarray) -> jnp.ndarray:
-        """(B,) int32 class ids -> (B, dim) f32 embeddings (device-side take)."""
+        """(B,) int32 class ids -> (B, dim) f32 embeddings (device-side take).
+
+        Concrete (non-traced) ids are bounds-checked: jnp.take silently
+        CLAMPS out-of-range ids to the last row, so a table smaller than
+        the label space would condition every overflow class on the final
+        class's embedding with no error. Inside jit the clamp semantics
+        remain (XLA gather cannot raise)."""
+        import jax
+
+        if not isinstance(labels, jax.core.Tracer):
+            mx = int(jnp.max(labels)) if np.ndim(labels) else int(labels)
+            if mx >= self.table.shape[0] or int(jnp.min(labels)) < 0:
+                raise IndexError(
+                    f"class id out of range for {self.table.shape[0]}-row "
+                    "text-embedding table")
         return jnp.take(self.table, labels, axis=0)

@@ -102,6 +102,14 @@ def groupnorm_silu(x, scale, bias, num_groups: int, eps: float = 1e-6,
     stays opt-in (``force='pallas'``) rather than buying complexity for 0%.
     """
     B, H, W, C = x.shape
-    if force == "pallas" and H * W * C * 4 <= _VMEM_BUDGET:
+    if force == "pallas":
+        # honor the explicit request — silently substituting XLA here made
+        # users benchmark the wrong implementation; oversized slabs fail
+        # loudly in the kernel instead
+        if H * W * C * 4 > _VMEM_BUDGET:
+            raise ValueError(
+                f"groupnorm_silu force='pallas': slab {H}x{W}x{C} f32 "
+                f"({H * W * C * 4 / 1e6:.1f}MB) exceeds the kernel's "
+                f"per-step VMEM budget ({_VMEM_BUDGET / 1e6:.0f}MB)")
         return groupnorm_silu_pallas(x, scale, bias, num_groups, eps, silu)
     return groupnorm_silu_reference(x, scale, bias, num_groups, eps, silu)

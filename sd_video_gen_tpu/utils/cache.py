@@ -12,7 +12,8 @@ import os
 
 
 def enable_compilation_cache(path: str | None = None) -> str | None:
-    if os.environ.get("SDVG_NO_COMPILATION_CACHE"):
+    if os.environ.get("SDVG_NO_COMPILATION_CACHE", "").lower() \
+            not in ("", "0", "false"):
         return None
     import jax
     path = path or os.environ.get(

@@ -14,10 +14,17 @@ import cv2
 def imgs_to_video(imgs, video_name: str = "video.mp4", fps: int = 15) -> str:
     """Write a list/array of HxWx3 uint8 BGR frames to an mp4/avi file."""
     imgs = [np.asarray(im) for im in imgs]
+    if not imgs:
+        raise ValueError("imgs_to_video: empty frame list")
     h, w = imgs[0].shape[:2]
     fourcc = cv2.VideoWriter_fourcc(*("mp4v" if video_name.endswith(".mp4")
                                       else "DIVX"))
     vw = cv2.VideoWriter(video_name, fourcc, fps, (w, h))
+    if not vw.isOpened():
+        # without this check a missing encoder makes every write a silent
+        # no-op and the caller reports success over a 0-byte file
+        raise RuntimeError(
+            f"VideoWriter could not open {video_name} (codec missing?)")
     for im in imgs:
         vw.write(im)
     vw.release()
@@ -25,15 +32,23 @@ def imgs_to_video(imgs, video_name: str = "video.mp4", fps: int = 15) -> str:
 
 
 def video_to_imgs(path: str, max_frames: int | None = None) -> np.ndarray:
+    import os
+    if not os.path.exists(path):
+        # cv2.VideoCapture returns ok=False for a missing file, which is
+        # indistinguishable from an empty video — raise the real cause
+        raise FileNotFoundError(path)
     cap = cv2.VideoCapture(path)
     frames = []
-    while True:
+    # `max_frames is not None`: a falsy 0 meant 'unlimited' and decoded
+    # the entire video when the caller asked for none
+    while max_frames is None or len(frames) < max_frames:
         ok, f = cap.read()
-        if not ok or (max_frames and len(frames) >= max_frames):
+        if not ok:
             break
         frames.append(f)
     cap.release()
-    return np.stack(frames) if frames else np.zeros((0,), np.uint8)
+    return (np.stack(frames) if frames
+            else np.zeros((0, 0, 0, 3), np.uint8))
 
 
 def display_video(file_path: str, width: int = 512) -> str:
