@@ -51,7 +51,10 @@ def main():
                      seed=1)
     vl = BatchLoader(BouncingBallDataset(5, 1, root, "test", seed=0), 16,
                      seed=1)
-    hist = trainer.fit(tl, vl, epochs=args.epochs, save_best=True)
+    # save_best=False: the rollout below evaluates trainer.state.params
+    # (the LAST epoch); saving a different 'best' epoch while judging the
+    # last one made the printed verdict evaluate the wrong weights
+    hist = trainer.fit(tl, vl, epochs=args.epochs, save_best=False)
     print(f"train_loss: {hist[0]['train_loss']:.3f} -> "
           f"{hist[-1]['train_loss']:.3f}")
 

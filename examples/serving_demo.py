@@ -59,43 +59,72 @@ def main():
     from sd_video_gen_tpu.ops.cached_rollout import (cached_rollout,
                                                      quantize_rollout_params)
 
-    codec = PixelCodec(args.frame_size)
-    if args.flagship:
-        dims = dict(dim_model=2048, num_heads=8, num_encoder_layers=4,
-                    num_decoder_layers=8)
-        batch = args.batch or 256
-    else:
-        dims = dict(dim_model=128, num_heads=4, num_encoder_layers=2,
-                    num_decoder_layers=2)
+    if (args.checkpoint or args.torch_checkpoint) and not args.config:
+        raise SystemExit("--config is required with --checkpoint/"
+                         "--torch_checkpoint (the model dims and frame size "
+                         "come from it)")
+    cfg = None
+    if args.config:
+        from sd_video_gen_tpu.config import load_config
+        cfg = load_config(args.config)
+    if cfg is not None and (args.checkpoint or args.torch_checkpoint):
+        # a trained checkpoint's dims/frame size come from ITS config —
+        # building the tiny/flagship demo dims here either failed the
+        # restore or silently served a partially-loaded model
+        codec = PixelCodec(cfg.frame_size)
+        mc = FrameTransformerConfig.from_config(cfg)
+        import dataclasses
+        mc = dataclasses.replace(mc, dtype=jnp.bfloat16)
         batch = args.batch or 8
-    mc = FrameTransformerConfig(latent_dim=codec.latent_dim, dropout_p=0.0,
-                                dtype=jnp.bfloat16, **dims)
+    else:
+        codec = PixelCodec(args.frame_size)
+        if args.flagship:
+            dims = dict(dim_model=2048, num_heads=8, num_encoder_layers=4,
+                        num_decoder_layers=8)
+            batch = args.batch or 256
+        else:
+            dims = dict(dim_model=128, num_heads=4, num_encoder_layers=2,
+                        num_decoder_layers=2)
+            batch = args.batch or 8
+        mc = FrameTransformerConfig(latent_dim=codec.latent_dim,
+                                    dropout_p=0.0, dtype=jnp.bfloat16,
+                                    **dims)
     model = FrameTransformer(mc)
 
     context = 5
+    fsize = codec.frame_size
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(
-        0, 255, (batch, context, args.frame_size, args.frame_size, 3)),
-        jnp.uint8)
-    lat = jax.jit(lambda f: codec.encode_batch(f, use_sos=True))(frames)
+        0, 255, (batch, context, fsize, fsize, 3)), jnp.uint8)
 
     if args.torch_checkpoint:
-        from sd_video_gen_tpu.diffusion.weights import (load_state_dict,
-                                                        convert_exhaustive)
-        params = convert_exhaustive(
-            "transformer", load_state_dict(args.torch_checkpoint))
-    elif args.checkpoint:
+        # load_model_params validates the converted tree against the model
+        # (a .pt with more layers than the config would otherwise serve
+        # partially loaded)
         from types import SimpleNamespace
-        from sd_video_gen_tpu.config import load_config
         from sd_video_gen_tpu.predict.predict import load_model_params
-        cfg = load_config(args.config)
+        ns = SimpleNamespace(checkpoint_dir=".", config=args.config, index=0,
+                             mode="test",
+                             torch_checkpoint=args.torch_checkpoint)
+        params = load_model_params(cfg, ns, model, codec, "test")
+    elif args.checkpoint:
+        import re
+        from types import SimpleNamespace
+        from sd_video_gen_tpu.predict.predict import load_model_params
+        # parse <config>_<index>_<mode> from the basename instead of
+        # hard-coding index 0 (the trainer auto-increments per run —
+        # hard-coding silently served a stale earlier checkpoint)
+        base = os.path.basename(args.checkpoint.rstrip("/"))
+        m = re.search(r"_(\d+)_(\w+)$", base)
+        idx, mode = (int(m.group(1)), m.group(2)) if m else (0, "test")
         ns = SimpleNamespace(checkpoint_dir=os.path.dirname(args.checkpoint)
-                             or ".", config=args.config, index=0, mode="test",
-                             torch_checkpoint=None)
+                             or ".", config=args.config, index=idx,
+                             mode=mode, torch_checkpoint=None)
         params = load_model_params(cfg, ns, model, codec, "test")
     else:
         print("no checkpoint given - serving a random-init model (throughput "
               "demo only)")
+        lat = jax.jit(lambda f: codec.encode_batch(f, use_sos=True))(frames)
         params = jax.jit(model.init)(jax.random.PRNGKey(0), lat, lat[:, :-1])
     params = jax.tree.map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,

@@ -74,7 +74,14 @@ struct Loader {
   }
 
   void shutdown() {
-    stop.store(true);
+    {
+      // stop must flip under the SAME lock the CV predicates read it
+      // with, or a worker that just evaluated stop==false can block
+      // after our notify fires (the delivered/cv_free fix below, applied
+      // to the shutdown path) — then join() hangs the process.
+      std::lock_guard<std::mutex> lk(mu);
+      stop.store(true);
+    }
     cv_free.notify_all();
     cv_ready.notify_all();
     for (auto& t : workers) if (t.joinable()) t.join();
@@ -138,7 +145,6 @@ struct Loader {
         freelist.pop_back();
       }
       gather(b, bi);
-      b->data.resize((size_t)b->n * clip_bytes);
       {
         std::lock_guard<std::mutex> lk(mu);
         ready[bi] = b;
@@ -184,6 +190,10 @@ int64_t fl_start_epoch(void* handle, const int64_t* order, int64_t n,
   auto* L = (Loader*)handle;
   L->shutdown();
   L->stop.store(false);
+  for (int64_t i = 0; i < n; ++i)
+    if (order[i] < 0 || order[i] >= L->n_clips)
+      return -1;  // the C ABI is the trust boundary: an out-of-range clip
+                  // id would memcpy past the mmap (SIGBUS or garbage)
   L->order.assign(order, order + n);
   L->batch_size = batch_size;
   L->n_batches = (n + batch_size - 1) / batch_size;

@@ -145,6 +145,9 @@ class NativeBatchLoader:
             self._h, order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(order), self.batch_size, self.n_threads, self.prefetch,
             1 if self.flip else 0, self._epoch)
+        if n_batches < 0:
+            raise ValueError("fastloader rejected the epoch order "
+                             "(clip id out of range for the cache)")
         served = ctypes.c_int64(0)
         buf = np.empty((self.batch_size,) + self.shape, self.dtype)
         idx = np.empty((self.batch_size,), np.int64)
