@@ -10,10 +10,10 @@ This module provides both surfaces over one JAX I3D (models/i3d.py):
   - ``FeatureStats``: jittable streaming accumulators (n, Σx, Σxxᵀ) that
     also merge across devices with a psum (replacing the dead
     torch.distributed.broadcast path at evaluation/fvd.py:135-145).
-  - ``frechet_distance``: trace form with symmetric matrix sqrt via SVD
-    (VideoGPT lineage) — pure numpy/JAX, no scipy needed on the hot path;
-    ``compute_fvd`` uses scipy.linalg.sqrtm like the stylegan lineage for
-    numerical cross-checking.
+  - ``frechet_distance`` and ``compute_fvd`` both compute tr sqrt(C1 C2)
+    with the eigh-based PSD sqrt (``_symmetric_sqrt``) — scipy's Schur
+    sqrtm stalls and LAPACK SVD can fail to converge on the near-singular
+    covariance products small-sample FVD produces.
   - ``preprocess_videos``: resize-shorter-side-224 + center crop + [-1,1]
     (evaluation/fvd_2.py:109-137) as a jittable device-side transform.
 """
@@ -21,6 +21,7 @@ This module provides both surfaces over one JAX I3D (models/i3d.py):
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
@@ -51,14 +52,21 @@ def preprocess_videos(videos_u8: jnp.ndarray, target: int = 224) -> jnp.ndarray:
 
 # -- I3D feature extraction -------------------------------------------------
 
+@functools.lru_cache(maxsize=4)
+def _jitted_features(i3d):
+    # flax Modules hash by config, so the compiled forward is reused
+    # across calls — eager per-chunk dispatch of the full I3D conv stack
+    # costs minutes over the ~50ms/op dev tunnel
+    return jax.jit(lambda p, v: i3d.apply(p, preprocess_videos(v)))
+
+
 def get_fvd_logits(i3d, params, videos_u8: jnp.ndarray,
                    batch_size: int = 16) -> jnp.ndarray:
     """uint8 videos -> (B, 400) I3D logits, chunked (fvd_2.py:81-89)."""
+    fwd = _jitted_features(i3d)
     outs = []
     for i in range(0, videos_u8.shape[0], batch_size):
-        chunk = videos_u8[i:i + batch_size]
-        x = preprocess_videos(jnp.asarray(chunk))
-        outs.append(i3d.apply(params, x))
+        outs.append(fwd(params, jnp.asarray(videos_u8[i:i + batch_size])))
     return jnp.concatenate(outs, axis=0)
 
 
@@ -174,7 +182,7 @@ def frechet_distance(x: np.ndarray, y: np.ndarray) -> float:
 
 
 def compute_fvd(stats_real: FeatureStats, stats_gen: FeatureStats) -> float:
-    """Streaming-stats Fréchet via scipy sqrtm (evaluation/fvd.py:80-92).
+    """Streaming-stats Fréchet (evaluation/fvd.py:80-92 lineage).
 
     Pure host numpy from the raw accumulators — no eager device ops (each
     eager op costs a remote-compile round trip on the dev tunnel; this

@@ -116,6 +116,13 @@ def flash_attention(q, k, v, scale: float | None = None,
     abq, abk = auto_blocks(T, d)
     block_q = min(block_q or abq, T)
     block_k = min(block_k or abk, T)
+    if T % block_q or T % block_k:
+        # the grid would TRUNCATE: tail query rows stay uninitialized and
+        # every row misses the tail keys — forced-flash callers bypass the
+        # dispatch's divisibility check, so fail loudly here
+        raise ValueError(
+            f"flash_attention: T={T} must divide block sizes "
+            f"({block_q}, {block_k}) — use `attention` for auto fallback")
     n_k = T // block_k
     kernel = functools.partial(_flash_kernel, scale=scale, n_k=n_k)
     return pl.pallas_call(
@@ -211,9 +218,9 @@ def _tp_attention(q, k, v, scale, mesh, axis, force, min_flash_len=4096):
                      out_specs=spec, check_rep=False)(q, k, v)
 
 
-# engage the ring only when each device keeps a meaningful token block;
-# below this the ppermute latency dominates any compute win
-RING_MIN_TOKENS = 512
+# minimum PER-DEVICE token block for the ring: below this the ppermute
+# latency dominates any compute win (4096 tokens over 8 devices = 512/dev)
+RING_MIN_TOKENS = 256
 
 
 def _ring_attention(q, k, v, scale, mesh, axis):
@@ -273,7 +280,7 @@ def _ring_attention(q, k, v, scale, mesh, axis):
                      out_specs=spec, check_rep=False)(q, k, v)
 
 
-def should_use_flash(shape, dtype, on_tpu: bool,
+def should_use_flash(shape, on_tpu: bool,
                      min_flash_len: int = 4096) -> bool:
     """Evidence-based dispatch policy (measured on v5e-1,
     tools/bench_attention.py, table + variance notes in PARITY.md):
@@ -305,8 +312,7 @@ def _dispatch(q, k, v, scale, min_flash_len, force):
     use_flash = (q.shape == k.shape and
                  (force == "flash" or
                   (force is None and
-                   should_use_flash(q.shape, q.dtype, _on_tpu(),
-                                    min_flash_len))))
+                   should_use_flash(q.shape, _on_tpu(), min_flash_len))))
     if use_flash:
         return flash_attention(q, k, v, scale)
     return reference_attention(q, k, v, scale)
@@ -335,8 +341,10 @@ def attention(q, k, v, scale: float | None = None,
                 return _tp_attention(q, k, v, scale, mesh, axis,
                                      tp_force or force, min_flash_len)
             if (q.shape[1] % size == 0 and
-                    q.shape[1] >= RING_MIN_TOKENS):
+                    q.shape[1] // size >= RING_MIN_TOKENS):
                 # heads cannot split (e.g. the VAE's single-head 4096-token
-                # attention): shard the sequence instead
+                # attention): shard the sequence instead. The gate is on
+                # the PER-DEVICE block (T/size): below it the ppermute
+                # latency dominates any compute win
                 return _ring_attention(q, k, v, scale, mesh, axis)
     return _dispatch(q, k, v, scale, min_flash_len, force)

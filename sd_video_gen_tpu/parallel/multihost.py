@@ -23,7 +23,11 @@ def initialize(coordinator_address: str | None = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except RuntimeError as e:
-        if "already initialized" not in str(e):
+        # message drift across jax versions: 0.4.x says "already
+        # initialized", 0.9.x says "should only be called once"
+        msg = str(e)
+        if ("already initialized" not in msg
+                and "only be called once" not in msg):
             raise
 
 

@@ -102,8 +102,13 @@ def load_model_params(cfg, args, model, codec, mode_flag: str):
 
 def save_frames(imgs: np.ndarray, is_pred: list[bool], out_root: str = "outputs"):
     os.makedirs(out_root, exist_ok=True)
-    folder = os.path.join(out_root, str(len(os.listdir(out_root))))
-    os.makedirs(folder, exist_ok=True)
+    # first FREE integer name: len(listdir) collides after deletions or
+    # stray files and silently overwrites a previous run's frames
+    n = len(os.listdir(out_root))
+    while os.path.exists(os.path.join(out_root, str(n))):
+        n += 1
+    folder = os.path.join(out_root, str(n))
+    os.makedirs(folder)
     for i, img in enumerate(imgs):
         if is_pred[i]:
             img = cv2.copyMakeBorder(img, 1, 1, 1, 1, cv2.BORDER_CONSTANT,
@@ -196,6 +201,13 @@ def make_predict_fn(model, codec, pred_frames: int, window: int,
             out = model.apply(params, y_in, y_in, tgt_mask=None, **kwargs)
             k = future_horizon or pred_frames
             preds = out[:, -k:][:, :pred_frames]
+            if refine_fn is not None:
+                # --denoise refines each predicted latent (the AR branches
+                # do this inside their rollouts; skipping it here silently
+                # ignored the flag for single-shot modes)
+                preds = jnp.stack(
+                    [refine_fn(preds[:, i], i)
+                     for i in range(preds.shape[1])], axis=1)
         elif rollout == "cached":
             from sd_video_gen_tpu.ops.cached_rollout import cached_rollout
             preds = cached_rollout(model.cfg, params, latents, pred_frames,
@@ -354,11 +366,29 @@ def main(argv=None):
                     return base_predict(p, frames, text_embeds)
             return base_predict(p, frames, text_embeds)
 
-    dataset = build_dataset(cfg, args, "test" if args.mode != "train" else "train")
+    # single-shot modes: build_dataset's future/learned_tgt extension adds
+    # the GT future frames to every clip for TRAINING; the predict CLI must
+    # feed only the context — a maskless single-shot forward over the
+    # extended clip would attend the very frames it claims to predict
+    exact = (cfg.frames_per_clip
+             if args.train_mode in ("future", "learned_tgt") else None)
+    dataset = build_dataset(cfg, args,
+                            "test" if args.mode != "train" else "train",
+                            exact_frames=exact)
     n_clips = min(len(dataset), args.max_clips)
     n_done = 0
     stage_s = {"data": 0.0, "dispatch": 0.0, "decode": 0.0, "io": 0.0}
     t_start = time.perf_counter()
+
+    codec_params_main = getattr(codec, "params", None)
+
+    @jax.jit
+    def decode_impl(cparams, flat):
+        # one compiled program per shape — an eager VAE decode dispatches
+        # hundreds of ops per batch (predict_fvd uses the same pattern)
+        if cparams is not None:
+            return codec.decode_latents(flat, params=cparams)
+        return codec.decode_latents(flat)
 
     def process(pending):
         """Fetch, decode, and write one completed batch (host side)."""
@@ -371,7 +401,8 @@ def main(argv=None):
         is_pred = ([False] * (context.shape[1] - 1)
                    + [True] * preds.shape[1])
         T_out = all_latents.shape[1]
-        imgs = np.asarray(codec.decode_latents(
+        imgs = np.asarray(decode_impl(
+            codec_params_main,
             all_latents.reshape(-1, codec.latent_dim)))
         t3 = time.perf_counter()
         for b in range(n_items):

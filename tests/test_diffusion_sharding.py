@@ -219,7 +219,7 @@ def test_vae_tp_ring_attention_matches(rng, monkeypatch):
                                                method=AutoencoderKL.decode)
                       )(params, enc_ref)
 
-    monkeypatch.setattr(A, "RING_MIN_TOKENS", 64)  # engage at CPU test size
+    monkeypatch.setattr(A, "RING_MIN_TOKENS", 8)  # per-device block at CPU size
     called = {}
     real_ring = A._ring_attention
 
