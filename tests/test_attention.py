@@ -183,3 +183,16 @@ def test_ring_engages_for_single_head_long_seq(rng, monkeypatch):
     with A.head_sharded_attention(mesh):
         out = A.attention(q[:, :64], k[:, :64], v[:, :64])
     assert "ring" not in called
+
+
+def test_flash_rejects_nondivisible_tokens(rng):
+    """Forced-flash callers bypass the dispatch guard; the kernel wrapper
+    must refuse token counts the grid would truncate (tail rows were left
+    uninitialized — review regression)."""
+    import pytest
+    # auto_blocks clamps to T when T < 1024, so force a smaller block to
+    # hit the truncating-grid case (and T=2304 with auto 1024 blocks is the
+    # real-world 384px shape that triggered it)
+    q = jnp.asarray(rng.standard_normal((1, 300, 32)), jnp.float32)
+    with pytest.raises(ValueError, match="divide"):
+        flash_attention(q, q, q, block_q=256, block_k=256, interpret=True)

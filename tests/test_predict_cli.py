@@ -188,3 +188,23 @@ def test_learned_tgt_single_shot_predict(rng):
     full = model.apply(params, lat, lat, tgt_mask=None)
     np.testing.assert_allclose(np.asarray(preds), np.asarray(full[:, -3:]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_save_frames_no_collision(tmp_path, monkeypatch):
+    """Folder naming must skip existing numbers: len(listdir) collided
+    after deletions and silently overwrote a previous run's frames."""
+    import os
+
+    from sd_video_gen_tpu.predict.predict import save_frames
+
+    monkeypatch.chdir(tmp_path)
+    img = np.zeros((1, 8, 8, 3), np.uint8)
+    os.makedirs("outputs/0")
+    os.makedirs("outputs/2")  # gap at 1: len(listdir)==2 would collide
+    f1 = save_frames(img, [False])
+    f2 = save_frames(img, [False])
+    assert f1 != f2
+    assert not set(os.listdir(f1)) & set()  # wrote fresh dirs
+    assert sorted(os.listdir("outputs")) == sorted(["0", "2",
+                                                    os.path.basename(f1),
+                                                    os.path.basename(f2)])
