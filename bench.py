@@ -417,7 +417,39 @@ SCENARIOS = [("pixel_ar16", scenario_pixel),
               lambda: scenario_denoise(batch=8))]
 
 
+def _probe_backend(timeout_s=None):
+    """Fail fast if the default jax backend can't initialize.
+
+    The dev environment reaches the TPU through a tunnel; when the relay
+    dies, the FIRST jax.devices() call hangs indefinitely (BENCH_r03.json
+    died deep inside a device_put). Probe in a subprocess with a hard
+    timeout so a dead backend produces a one-line actionable error in
+    seconds, not a driver rc=124 after an hour."""
+    import subprocess
+    import sys
+    timeout_s = timeout_s or float(os.environ.get("SDVG_BENCH_PROBE_S", 90))
+    code = ("import jax; d = jax.devices(); "
+            "print(d[0].platform, len(d), flush=True)")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"bench: jax backend init hung >{timeout_s:.0f}s — the TPU "
+            "tunnel relay is likely down. Restart the relay or set "
+            "JAX_PLATFORMS=cpu for a smoke run. No measurements taken.")
+    if proc.returncode != 0:
+        raise SystemExit(
+            "bench: jax backend failed to initialize (rc="
+            f"{proc.returncode}). stderr tail:\n" + proc.stderr[-800:])
+    platform = proc.stdout.split()[0] if proc.stdout.split() else "?"
+    print(json.dumps({"probe": "backend", "platform": platform}),
+          flush=True)
+
+
 def main():
+    _probe_backend()
     from sd_video_gen_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 

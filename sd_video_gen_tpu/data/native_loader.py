@@ -94,9 +94,37 @@ class NativeBatchLoader:
     def __init__(self, cache_dir: str, stage: str, batch_size: int,
                  epoch_ratio: float = 1.0, shuffle: bool = True,
                  drop_last: bool = True, n_threads: int = 2,
-                 prefetch: int = 3, flip: bool = False, seed: int = 0):
+                 prefetch: int = 3, flip: bool = False, seed: int = 0,
+                 process_shard: tuple[int, int] | None = None,
+                 shard_multiple: int | None = None):
         with open(os.path.join(cache_dir, f"{stage}.json")) as f:
             hdr = json.load(f)
+        # multi-host: identical semantics to pipeline.BatchLoader — every
+        # process derives the SAME global epoch order from the shared seed,
+        # cuts it into GLOBAL batches of ``batch_size``, and feeds only its
+        # contiguous per-process slice of each one to the C++ runtime (the
+        # mmap'd cache is local; parallel/multihost.global_batch_from_local
+        # reassembles the full batch on the global mesh). Ragged tails trim
+        # to ``shard_multiple`` (the mesh's data-axis requirement).
+        if process_shard is not None:
+            pid, pcount = process_shard
+            if batch_size % pcount:
+                raise ValueError(
+                    f"global batch_size {batch_size} must divide evenly "
+                    f"across {pcount} processes")
+            if not (0 <= pid < pcount):
+                raise ValueError(f"process_shard index {pid} out of range")
+        self.process_shard = process_shard
+        self.shard_multiple = (shard_multiple if shard_multiple is not None
+                               else (process_shard[1] if process_shard
+                                     else None))
+        self._mult = max(self.shard_multiple or 1,
+                         process_shard[1] if process_shard else 1)
+        if self._mult > 1 and batch_size % self._mult:
+            raise ValueError(
+                f"global batch_size {batch_size} must be a multiple of "
+                f"shard_multiple {self._mult} (the mesh batch-axis "
+                "requirement) — every batch must shard evenly")
         self.shape = tuple(hdr["shape"])
         self.dtype = np.dtype(hdr["dtype"])
         self.n_clips = hdr["n_clips"]
@@ -129,28 +157,63 @@ class NativeBatchLoader:
 
     def __len__(self):
         take = max(1, int(self.n_clips * self.epoch_ratio))
-        if self.drop_last and take >= self.batch_size:
-            return take // self.batch_size
-        return (take + self.batch_size - 1) // self.batch_size
+        nfull, rem = divmod(take, self.batch_size)
+        if nfull and self.drop_last:
+            return nfull
+        if self._mult > 1 or self.process_shard is not None:
+            # a ragged tail survives only if it trims to a non-zero
+            # mesh-shardable size (__iter__ applies the same rule)
+            ragged = rem if nfull else take
+            return nfull + (1 if (ragged // self._mult) * self._mult else 0)
+        return nfull + (1 if rem else 0)
 
-    def __iter__(self):
+    def _epoch_order(self):
+        """Per-process (order array, local batch size) for this epoch.
+
+        The GLOBAL order and its batch boundaries are identical on every
+        process (shared seed); each process keeps its contiguous slice of
+        every global batch. Concatenating size-``local`` runs and cutting
+        at stride ``local`` in C++ reproduces the run boundaries exactly,
+        so global batch k = the k-th C++ batch on every process."""
         take = max(1, int(self.n_clips * self.epoch_ratio))
         order = (self._rng.permutation(self.n_clips)
                  if self.shuffle else np.arange(self.n_clips))[:take]
-        if self.drop_last and take >= self.batch_size:
-            order = order[: (take // self.batch_size) * self.batch_size]
+        if self.process_shard is None and self._mult <= 1:
+            if self.drop_last and take >= self.batch_size:
+                order = order[: (take // self.batch_size) * self.batch_size]
+            return order, self.batch_size
+        pid, pcount = self.process_shard or (0, 1)
+        local_bs = self.batch_size // pcount
+        nfull, rem = divmod(len(order), self.batch_size)
+        pieces = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                  [pid * local_bs:(pid + 1) * local_bs]
+                  for i in range(nfull)]
+        if rem and not (nfull and self.drop_last):
+            tail = order[nfull * self.batch_size:]
+            m = (len(tail) // self._mult) * self._mult
+            local = m // pcount
+            if local:
+                pieces.append(tail[pid * local:(pid + 1) * local])
+        if not pieces:
+            return order[:0], local_bs
+        return np.concatenate(pieces), local_bs
+
+    def __iter__(self):
+        order, local_bs = self._epoch_order()
         order = np.ascontiguousarray(order, np.int64)
+        if len(order) == 0:
+            return
         self._epoch += 1
         n_batches = self._lib.fl_start_epoch(
             self._h, order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(order), self.batch_size, self.n_threads, self.prefetch,
+            len(order), local_bs, self.n_threads, self.prefetch,
             1 if self.flip else 0, self._epoch)
         if n_batches < 0:
             raise ValueError("fastloader rejected the epoch order "
                              "(clip id out of range for the cache)")
         served = ctypes.c_int64(0)
-        buf = np.empty((self.batch_size,) + self.shape, self.dtype)
-        idx = np.empty((self.batch_size,), np.int64)
+        buf = np.empty((local_bs,) + self.shape, self.dtype)
+        idx = np.empty((local_bs,), np.int64)
         for _ in range(n_batches):
             n = self._lib.fl_next_batch(
                 self._h, buf.ctypes.data_as(ctypes.c_void_p),

@@ -103,11 +103,18 @@ class ResnetBlockT(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
+        from sd_video_gen_tpu.parallel.constrain import tp_constrain
         c = self.cfg
         h = _gn(c, "norm1")(x)
         h = nn.silu(h)
-        h = _conv(c, self.out_channels, 3, "conv1")(h)
-        t = _dense(c, self.out_channels, "time_emb_proj")(nn.silu(temb))
+        # Megatron pairing under TP: conv1 column-parallel -> activations
+        # channel-sharded through GN/SiLU -> conv2 row-parallel (one
+        # all-reduce back onto the replicated residual). The explicit
+        # constraints stop GSPMD bouncing the time-emb broadcast through
+        # replication (observed spmd_partitioner full-remat on up_*_res_*).
+        h = tp_constrain(_conv(c, self.out_channels, 3, "conv1")(h), -1)
+        t = tp_constrain(
+            _dense(c, self.out_channels, "time_emb_proj")(nn.silu(temb)), -1)
         h = h + t[:, None, None, :]
         h = _gn(c, "norm2")(h)
         h = nn.silu(h)
@@ -130,9 +137,18 @@ class CrossAttention(nn.Module):
         H = c.attention_heads
         hd = self.query_dim // H
         ctx = x if context is None else context
-        q = _dense(c, self.query_dim, "to_q", use_bias=False)(x)
-        k = _dense(c, self.query_dim, "to_k", use_bias=False)(ctx)
-        v = _dense(c, self.query_dim, "to_v", use_bias=False)(ctx)
+        from sd_video_gen_tpu.parallel.constrain import tp_constrain
+        # Under TP, to_q/to_k/to_v are column-parallel (heads split over the
+        # model axis) and to_out_0 is row-parallel. Constrain the projected
+        # activations channel-sharded and the (B*H, T, hd) layout
+        # head-sharded so GSPMD never replicates at the head-split reshapes
+        # (observed spmd_partitioner full-remat on up_*_attn_*/attn2).
+        q = tp_constrain(_dense(c, self.query_dim, "to_q", use_bias=False)(x),
+                         -1)
+        k = tp_constrain(
+            _dense(c, self.query_dim, "to_k", use_bias=False)(ctx), -1)
+        v = tp_constrain(
+            _dense(c, self.query_dim, "to_v", use_bias=False)(ctx), -1)
         B, Tq, _ = q.shape
         Tk = k.shape[1]
         # (B*H, T, hd) layout feeds ops/attention: Pallas flash kernel for the
@@ -141,10 +157,12 @@ class CrossAttention(nn.Module):
         q = q.reshape(B, Tq, H, hd).transpose(0, 2, 1, 3).reshape(B * H, Tq, hd)
         k = k.reshape(B, Tk, H, hd).transpose(0, 2, 1, 3).reshape(B * H, Tk, hd)
         v = v.reshape(B, Tk, H, hd).transpose(0, 2, 1, 3).reshape(B * H, Tk, hd)
+        q, k, v = (tp_constrain(a, 0) for a in (q, k, v))
         o = attention(q, k, v, scale=hd ** -0.5)
+        o = tp_constrain(o, 0)
         o = o.reshape(B, H, Tq, hd).transpose(0, 2, 1, 3).reshape(
             B, Tq, self.query_dim).astype(c.dtype)
-        return _dense(c, self.query_dim, "to_out_0")(o)
+        return _dense(c, self.query_dim, "to_out_0")(tp_constrain(o, -1))
 
 
 class FeedForwardGEGLU(nn.Module):
@@ -163,8 +181,9 @@ class FeedForwardGEGLU(nn.Module):
         # spmd_partitioner 'involuntary full rematerialization' per FF
         # block). Column-parallel h/gate + row-parallel out_proj is the
         # Megatron pairing with zero intra-FF collectives.
-        h = _dense(c, 4 * self.dim, "geglu_proj_h")(x)
-        gate = _dense(c, 4 * self.dim, "geglu_proj_gate")(x)
+        from sd_video_gen_tpu.parallel.constrain import tp_constrain
+        h = tp_constrain(_dense(c, 4 * self.dim, "geglu_proj_h")(x), -1)
+        gate = tp_constrain(_dense(c, 4 * self.dim, "geglu_proj_gate")(x), -1)
         h = h * nn.gelu(gate, approximate=False)
         return _dense(c, self.dim, "out_proj")(h)
 

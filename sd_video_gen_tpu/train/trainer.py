@@ -678,23 +678,27 @@ def main(argv=None):
                           codec_kind=args.codec,
                           checkpoint_dir=args.checkpoint_dir,
                           vae_params=vae_params)
+        # multi-host: every process derives the identical global epoch order
+        # from the shared seed and loads only its contiguous slice of each
+        # global batch (both loaders implement the same contract). The
+        # divisibility requirement is the mesh's DATA axis (not total device
+        # count), lcm'd with process count so per-process slices stay even.
+        shard = ((jax.process_index(), jax.process_count())
+                 if jax.process_count() > 1 else None)
+        data_ax = trainer.mesh.shape.get("data", 1)
+        mult = math.lcm(data_ax, shard[1]) if shard else data_ax
         if args.native_cache:
             from sd_video_gen_tpu.data.native_loader import NativeBatchLoader
-            if jax.process_count() > 1:
-                raise NotImplementedError(
-                    "--native_cache has no per-process sharding yet: under "
-                    "--multihost every process would yield the SAME batches "
-                    "and the assembled global batch would duplicate every "
-                    "clip process_count times. Use the Python loader "
-                    "(BatchLoader shards per process) for multi-host runs.")
             train_loader = NativeBatchLoader(
                 args.native_cache, "train", cfg.batch_size,
                 epoch_ratio=cfg.epoch_ratio, flip=args.flip, seed=args.seed,
-                n_threads=max(1, cfg.num_workers))
+                n_threads=max(1, cfg.num_workers),
+                process_shard=shard, shard_multiple=mult)
             val_loader = NativeBatchLoader(
                 args.native_cache, "test", cfg.batch_size,
                 epoch_ratio=cfg.epoch_ratio, seed=args.seed,
-                n_threads=max(1, cfg.num_workers))
+                n_threads=max(1, cfg.num_workers),
+                process_shard=shard, shard_multiple=mult)
             if args.train_mode == "text":
                 if train_loader.labels is None or val_loader.labels is None:
                     raise ValueError(
@@ -716,16 +720,6 @@ def main(argv=None):
             else:
                 train_ds = build_dataset(cfg, args, "train")
                 val_ds = build_dataset(cfg, args, "test")
-            shard = ((jax.process_index(), jax.process_count())
-                     if jax.process_count() > 1 else None)
-            # batches shard over the mesh's DATA axis only (batch_sharding),
-            # so that — not total device count — is the divisibility
-            # requirement (data=2,model=4 on 8 devices needs multiples of 2,
-            # not 8); lcm with process count keeps per-process slices even.
-            # Passed on SINGLE host too: an untrimmed ragged batch would
-            # crash device_put on a data-axis mesh.
-            data_ax = trainer.mesh.shape.get("data", 1)
-            mult = math.lcm(data_ax, shard[1]) if shard else data_ax
             train_loader = BatchLoader(train_ds, cfg.batch_size,
                                        epoch_ratio=cfg.epoch_ratio,
                                        seed=args.seed, process_shard=shard,

@@ -13,7 +13,7 @@ import jax
 
 
 def run_case(data_dir: str, process_shard=None, epochs: int = 2,
-             mode: str = "ar"):
+             mode: str = "ar", native: bool = False):
     from sd_video_gen_tpu.config import Config
     from sd_video_gen_tpu.data import BouncingBallDataset, BatchLoader
     from sd_video_gen_tpu.parallel import make_mesh
@@ -44,8 +44,18 @@ def run_case(data_dir: str, process_shard=None, epochs: int = 2,
                 return i % 64, frames
 
         ds = LabeledDS(ds)
-    loader = BatchLoader(ds, cfg.batch_size, shuffle=False, seed=7,
-                         process_shard=process_shard)
+    if native:
+        # same contract through the C++ loader: cache pre-built by the
+        # parent test (workers only read the mmap)
+        import os
+        from sd_video_gen_tpu.data.native_loader import NativeBatchLoader
+        cache_dir = os.path.join(data_dir, "native_cache")
+        loader = NativeBatchLoader(cache_dir, "train", cfg.batch_size,
+                                   shuffle=False, seed=7, n_threads=1,
+                                   process_shard=process_shard)
+    else:
+        loader = BatchLoader(ds, cfg.batch_size, shuffle=False, seed=7,
+                             process_shard=process_shard)
 
     rng = jax.random.PRNGKey(0)
     indices, frames = next(iter(loader))

@@ -28,6 +28,7 @@ def main():
     pid, pcount, port, data_dir = (int(sys.argv[1]), int(sys.argv[2]),
                                    int(sys.argv[3]), sys.argv[4])
     mode = sys.argv[5] if len(sys.argv) > 5 else "ar"
+    native = len(sys.argv) > 6 and sys.argv[6] == "native"
     from sd_video_gen_tpu.parallel import multihost
     multihost.initialize(coordinator_address=f"localhost:{port}",
                          num_processes=pcount, process_id=pid)
@@ -35,7 +36,8 @@ def main():
     assert len(jax.devices()) == pcount * 4
 
     from tests.multihost_case import run_case
-    losses = run_case(data_dir, process_shard=(pid, pcount), mode=mode)
+    losses = run_case(data_dir, process_shard=(pid, pcount), mode=mode,
+                      native=native)
     print("TRAJECTORY " + json.dumps(losses), flush=True)
 
 
