@@ -42,7 +42,11 @@ def tp_constrain(x, dim: int):
     dim = dim % x.ndim
     if x.shape[dim] % size != 0:
         return x
-    spec = [None] * x.ndim
+    # UNCONSTRAINED on the other dims: P(None, ..., axis) would FORCE them
+    # replicated, which under a DP x TP mesh would all-gather a
+    # data-sharded batch axis at every constraint. Only the target dim's
+    # placement is pinned; GSPMD keeps propagating the rest.
+    spec = [P.UNCONSTRAINED] * x.ndim
     spec[dim] = axis
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(*spec)))

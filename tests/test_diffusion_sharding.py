@@ -282,16 +282,44 @@ def scan_denoise(p, z):
     return jnp.sum(jnp.abs(out))
 
 with head_sharded_attention(mesh):
-    jax.jit(scan_denoise).lower(params, z).compile()
-print("compiled-ok")
+    compiled = jax.jit(scan_denoise).lower(params, z).compile()
+txt = compiled.as_text()
+print("compiled-ok allgathers=%d" % txt.count("all-gather"))
 """
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
                           text=True, timeout=600, env=env)
     assert proc.returncode == 0, proc.stderr[-3000:]
-    assert "compiled-ok" in proc.stdout
+    # Megatron pairing: the compiled graph's collectives are all-reduces
+    # (one per block pair) + all-to-alls/permutes (head resharding) — an
+    # all-gather means an activation bounced through replication
+    assert "compiled-ok allgathers=0" in proc.stdout, proc.stdout[-500:]
     bad = [ln for ln in proc.stderr.splitlines()
            if "Involuntary full rematerialization" in ln]
     assert not bad, ("TP denoise graph re-grew SPMD full-remat warnings:\n"
                      + "\n".join(bad[:5]))
+
+
+def test_unet_dp_tp_batch_stays_sharded(rng):
+    """DP x TP: with the batch sharded over 'data' and params over 'model',
+    the activation constraints (parallel/constrain.tp_constrain) must pin
+    ONLY the feature/head dims — a P(None,...,axis) constraint would force
+    the batch axis replicated (all-gather per block). Verifies numerics
+    match single-device AND the output keeps its data sharding."""
+    from sd_video_gen_tpu.ops.attention import head_sharded_attention
+
+    model, params = _tiny_unet()
+    z = jnp.asarray(rng.standard_normal((4, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([1, 3, 5, 7], jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((4, 2, 32)), jnp.float32)
+    ref = jax.jit(model.apply)(params, z, t, ctx)
+
+    mesh = make_mesh("data=2,model=4")
+    sharded = jax.device_put(params, diffusion_param_shardings(mesh, params))
+    zb = jax.device_put(z, NamedSharding(mesh, P("data")))
+    with head_sharded_attention(mesh):
+        out = jax.jit(model.apply, out_shardings=NamedSharding(
+            mesh, P("data")))(sharded, zb, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
