@@ -242,6 +242,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "instead of an Orbax checkpoint; .pt files matching "
                         "the reference naming in --checkpoint_dir are also "
                         "picked up automatically")
+    p.add_argument("--denoise_precision", type=str, default="bf16",
+                   choices=["bf16", "f32"],
+                   help="compute dtype for the --denoise SD pipeline. bf16 "
+                        "is the TPU-native default (the MXU's wide format; "
+                        "2x conv/matmul throughput, half the weight "
+                        "bandwidth); f32 reproduces the reference's serving "
+                        "numerics (utils/sd_utils.py loads fp32) bit-closer")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=str, default=None,
                    help="device mesh spec, e.g. 'data=8' or 'data=4,model=2'")

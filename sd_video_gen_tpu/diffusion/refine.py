@@ -44,6 +44,19 @@ def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = Non
     pipe = pipeline or SDPipeline(frame_size=hi_res or cfg.frame_size)
     lo = cfg.frame_size
 
+    # Serve the weights at the pipeline's COMPUTE dtype: flax casts params at
+    # every use anyway, so keeping f32 copies in HBM only doubles the weight
+    # stream (~1.7GB vs 860MB per UNet step at B=1, where the denoise loop is
+    # weight-bandwidth-bound). f32 leaves only — ints/bools stay.
+    cdtype = pipe.unet_cfg.dtype
+    if cdtype != jnp.float32:
+        cast = lambda tree: jax.tree.map(
+            lambda p: p.astype(cdtype) if (hasattr(p, "dtype") and
+                                           p.dtype == jnp.float32) else p,
+            tree)
+    else:
+        cast = lambda tree: tree
+
     if hi_res is None:
         # the VAE owns its compression factor (2 blocks in the test VAEs
         # -> /2, SD's 4 blocks -> /8); hard-coding lo//8 scrambles the
@@ -65,7 +78,7 @@ def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = Non
                                     jax.random.PRNGKey(start_step), step))
             return den.transpose(0, 3, 1, 2).reshape(B, -1)
 
-        params = {"vae": pipe.vae.params, "unet": pipe.unet_params,
+        params = {"vae": cast(pipe.vae.params), "unet": cast(pipe.unet_params),
                   "uncond_emb": uncond}
         return refine_native, params
 
@@ -76,8 +89,8 @@ def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = Non
     h_hi = vae_hi.latent_hw
 
     refine_params = {
-        "vae": pipe.vae.params,
-        "unet": pipe.unet_params,
+        "vae": cast(pipe.vae.params),
+        "unet": cast(pipe.unet_params),
         # text path reduces to one constant embedding pair: gs=0 + '' prompt
         # (prediction/predict.py:148,169)
         "uncond_emb": pipe.uncond_embeddings(1),

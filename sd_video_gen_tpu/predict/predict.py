@@ -312,7 +312,9 @@ def main(argv=None):
             vae_params=load(args.vae_weights, W.convert_vae),
             unet_params=load(args.unet_weights, W.convert_unet),
             clip_params=load(args.clip_weights, W.convert_clip_text),
-            tokenizer_dir=args.tokenizer_dir)
+            tokenizer_dir=args.tokenizer_dir,
+            dtype=jnp.bfloat16 if args.denoise_precision == "bf16"
+            else jnp.float32)
         refine_fn = make_denoise_refiner(cfg, args.denoise_start_step,
                                          pipeline=pipe)
 

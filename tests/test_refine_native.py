@@ -40,3 +40,47 @@ def test_native_res_refiner():
     assert np.isfinite(np.asarray(out)).all()
     # refinement actually changes the latent (UNet steps applied)
     assert np.abs(np.asarray(out) - np.asarray(flat)).max() > 1e-3
+
+
+def _tiny_pipe(dtype):
+    return SDPipeline(
+        frame_size=32, dtype=dtype,
+        vae_cfg=VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                          norm_num_groups=2, dtype=dtype),
+        unet_cfg=UNetConfig(block_out_channels=(8, 16), layers_per_block=1,
+                            attention_heads=2, cross_attention_dim=16,
+                            norm_num_groups=2, dtype=dtype),
+        clip_cfg=CLIPTextConfig(hidden_size=16, num_layers=1, num_heads=2,
+                                intermediate_size=32, max_length=8,
+                                dtype=dtype))
+
+
+def test_refiner_bf16_serving_dtype():
+    """--denoise_precision bf16: a bf16 pipeline's refiner must (a) store its
+    HBM-resident vae/unet weights in bf16 — flax casts at use, so f32 copies
+    would double the weight stream per UNet step — and (b) track the f32
+    refiner within bf16 resolution. Params come from shared f32 init so the
+    two refiners compute the same function at different precisions."""
+    cfg = Config(config_name="t", frame_size=32)
+    with pytest.warns(UserWarning):
+        pipe32 = _tiny_pipe(jnp.float32)
+    pipe16 = _tiny_pipe(jnp.bfloat16)
+    pipe16.unet_params = pipe32.unet_params
+    pipe16.vae.params = pipe32.vae.params
+    pipe16.clip_params = pipe32.clip_params
+    f32, p32 = make_denoise_refiner(cfg, start_step=2, pipeline=pipe32,
+                                    num_inference_steps=4, hi_res=None)
+    f16, p16 = make_denoise_refiner(cfg, start_step=2, pipeline=pipe16,
+                                    num_inference_steps=4, hi_res=None)
+    leaves = jax.tree.leaves({"vae": p16["vae"], "unet": p16["unet"]})
+    assert all(l.dtype == jnp.bfloat16 for l in leaves
+               if jnp.issubdtype(l.dtype, jnp.floating))
+    L = 4 * pipe32.vae.latent_hw ** 2
+    flat = jnp.asarray(np.random.default_rng(1).standard_normal((2, L)) * 0.1,
+                       jnp.float32)
+    o32 = np.asarray(jax.jit(f32)(p32, flat), np.float32)
+    o16 = np.asarray(jax.jit(f16)(p16, flat), np.float32)
+    assert np.isfinite(o16).all()
+    scale = np.max(np.abs(o32))
+    assert np.max(np.abs(o16 - o32)) / scale < 0.1, \
+        f"bf16 refiner drifted {np.max(np.abs(o16 - o32)) / scale:.3f}"

@@ -56,9 +56,16 @@ class TCrossAttn(tnn.Module):
         self.to_v = tnn.Linear(ctx_dim or dim, dim, bias=False)
         self.to_out = tnn.ModuleList([tnn.Linear(dim, dim)])
         self.dim = dim
+        # bind at CONSTRUCTION: reading the global at forward time made the
+        # replica silently run the wrong head count for callers that build
+        # under patched globals and restore them before the forward (the
+        # real_weight_parity harness did exactly that — its SD-scale "eps
+        # rel err 5.9e-2" was 2-head torch vs 8-head jax, not a model bug)
+        self.heads = HEADS
 
     def forward(self, x, ctx=None):
         ctx = x if ctx is None else ctx
+        HEADS = self.heads
         B, T, _ = x.shape
         hd = self.dim // HEADS
         q = self.to_q(x).reshape(B, T, HEADS, hd).permute(0, 2, 1, 3)
