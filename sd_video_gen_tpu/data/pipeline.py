@@ -72,6 +72,15 @@ class BatchLoader:
                 f"global batch_size {batch_size} must be a multiple of "
                 f"shard_multiple {self._mult} (the mesh batch-axis "
                 "requirement) — every batch must shard evenly")
+        if process_shard is not None and self._mult % process_shard[1]:
+            # a ragged tail trims to a multiple of _mult, then splits into
+            # per-process slices of _mult // pcount — a non-divisible pair
+            # would yield a trimmed GLOBAL tail that no longer shards over
+            # the mesh (the trainer always passes lcm(data_axis, pcount))
+            raise ValueError(
+                f"shard_multiple {self._mult} must be a multiple of the "
+                f"process count {process_shard[1]} — pass "
+                "lcm(mesh data axis, process count)")
 
     def _epoch_order(self) -> np.ndarray:
         n = len(self.dataset)

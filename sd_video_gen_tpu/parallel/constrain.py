@@ -50,17 +50,3 @@ def tp_constrain(x, dim: int):
     spec[dim] = axis
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(*spec)))
-
-
-def tp_replicated(x):
-    """Constrain ``x`` to be replicated over the active TP mesh (the
-    Megatron residual stream between blocks). No-op outside a TP context."""
-    from sd_video_gen_tpu.ops.attention import _TP_CTX
-    if not _TP_CTX:
-        return x
-    mesh, axis, _ = _TP_CTX[-1]
-    size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis, 1)
-    if size <= 1:
-        return x
-    return jax.lax.with_sharding_constraint(
-        x, NamedSharding(mesh, P(*([None] * x.ndim))))

@@ -134,6 +134,28 @@ def test_batchloader_rejects_unshardable_batch_size():
     BatchLoader(ds, 8, process_shard=(0, 2), shard_multiple=8, seed=0)
 
 
+def test_batchloader_rejects_mult_not_multiple_of_procs():
+    """shard_multiple must itself divide evenly across processes: a ragged
+    tail trims to a multiple of shard_multiple then splits per-process, so
+    e.g. mult=3 over 2 procs would yield a trimmed GLOBAL tail of 2 — no
+    longer shardable over the mesh (the trainer passes lcm(data, procs))."""
+    import pytest
+    ds = [(i, np.zeros((5, 4, 4, 3), np.uint8)) for i in range(20)]
+    with pytest.raises(ValueError, match="multiple of the process count"):
+        BatchLoader(ds, 6, process_shard=(0, 2), shard_multiple=3, seed=0)
+    from sd_video_gen_tpu.data.native_loader import NativeBatchLoader
+    import json as _json
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/train.json", "w") as f:
+            _json.dump({"n_clips": 4, "shape": [5, 4, 4, 3],
+                        "dtype": "uint8"}, f)
+        open(f"{d}/train.bin", "wb").write(bytes(4 * 5 * 4 * 4 * 3))
+        with pytest.raises(ValueError, match="multiple of the process count"):
+            NativeBatchLoader(d, "train", 6, process_shard=(0, 2),
+                              shard_multiple=3, seed=0)
+
+
 def test_batchloader_len_matches_iter_under_sharding():
     """len(loader) must count exactly the batches __iter__ yields,
     including the ragged short-batch trim rule."""
