@@ -46,6 +46,7 @@ estimates for its pipeline on an RTX 3090, documented per scenario:
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -422,10 +423,12 @@ SCENARIOS = [("pixel_ar16", scenario_pixel),
 
 
 def _probe_backend(timeout_s=None):
-    """Fail fast if the default jax backend can't initialize
-    (shared probe: sd_video_gen_tpu/utils/backend.py)."""
-    from sd_video_gen_tpu.utils.backend import probe_backend
-    platform = probe_backend("bench", timeout_s)
+    """Fail fast if the default jax backend can't initialize. In-process
+    single-session init (sd_video_gen_tpu/utils/backend.py): a subprocess
+    probe both false-fails a live-but-slow relay and burns a tunnel
+    session slot the measurement run needs (observed r4b)."""
+    from sd_video_gen_tpu.utils.backend import init_backend_or_die
+    platform = init_backend_or_die("bench", timeout_s)
     print(json.dumps({"probe": "backend", "platform": platform}),
           flush=True)
 
@@ -451,7 +454,42 @@ def _emit_final(results):
     }), flush=True)
 
 
+def _supervise():
+    """Retry backend init in fresh processes. The tunnel serves client
+    sessions erratically (observed r4b, relay LIVE: one client initialized
+    in 0.09s while its neighbors hung >300s) — a second attempt in a new
+    process often lands a working session where the first hung. The child
+    signals a hung init with INIT_HUNG_RC; any other rc passes through.
+    Global time is accounted: each child's hard watchdog gets the REMAINING
+    budget so retries can never push the run past the driver's timeout."""
+    import subprocess
+    from sd_video_gen_tpu.utils.backend import INIT_HUNG_RC
+    retries = int(os.environ.get("SDVG_BENCH_RETRIES", "3"))
+    total_s = float(os.environ.get("SDVG_BENCH_HARD_S", 3300))
+    t0 = time.perf_counter()
+    for attempt in range(retries + 1):
+        left = total_s - (time.perf_counter() - t0)
+        if left < 120:
+            break
+        env = dict(os.environ, SDVG_BENCH_CHILD="1",
+                   SDVG_BENCH_HARD_S=f"{left:.0f}")
+        rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
+                             env=env)
+        if rc != INIT_HUNG_RC:
+            raise SystemExit(rc)
+        print(json.dumps({"attempt": attempt, "note":
+                          "backend init hung; retrying in a new process"}),
+              flush=True)
+    raise SystemExit(1)
+
+
 def main():
+    # Supervisor wrapping only matters when the default backend routes
+    # through the tunnel; a cpu-pinned run (tests, smoke) goes straight in.
+    pinned = os.environ.get("JAX_PLATFORMS", "").split(",")[0]
+    if pinned != "cpu" and os.environ.get("SDVG_BENCH_CHILD") != "1" \
+            and os.environ.get("SDVG_BENCH_RETRIES", "3") != "0":
+        _supervise()
     _probe_backend()
     from sd_video_gen_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()

@@ -18,7 +18,12 @@ import os
 import subprocess
 import sys
 
-__all__ = ["probe_backend"]
+__all__ = ["probe_backend", "init_backend_or_die", "INIT_HUNG_RC"]
+
+# Distinctive exit code for "backend init hung": lets a supervisor
+# (bench.py retry loop) distinguish a stuck tunnel session — worth
+# retrying in a fresh process — from a real benchmark failure.
+INIT_HUNG_RC = 17
 
 
 def force_cpu() -> None:
@@ -73,3 +78,52 @@ def probe_backend(tool: str = "tool", timeout_s: float | None = None) -> str:
             f"{tool}: jax backend failed to initialize (rc="
             f"{proc.returncode}). stderr tail:\n" + proc.stderr[-800:])
     return proc.stdout.split()[0] if proc.stdout.split() else "?"
+
+
+def init_backend_or_die(tool: str = "tool",
+                        deadline_s: float | None = None) -> str:
+    """Initialize the default backend IN-PROCESS under a watchdog deadline.
+
+    Why not probe_backend for the measuring tools: the tunnel serves client
+    sessions erratically — observed r4b with the relay LIVE, one client
+    initialized in 0.09 s while the probe subprocess (and every later
+    client) hung >300 s. A subprocess probe therefore (a) can false-fail a
+    healthy relay and (b) burns one of the scarce session slots the real
+    run needs. For a tool whose only job is to run on the default backend,
+    the right shape is ONE client session: init here, and if init doesn't
+    complete by the deadline, a monitor thread prints the actionable
+    one-liner and os._exit(1)s (a hung jax.devices() never returns to
+    Python, so sys.exit/exceptions can't fire).
+
+    probe_backend stays for callers that need a fallback path after
+    failure (they must not poison their own process with a hung backend).
+    """
+    pinned = os.environ.get("JAX_PLATFORMS", "")
+    if pinned and "tpu" not in pinned and "axon" not in pinned \
+            and "proxy" not in pinned:
+        if pinned.split(",")[0] == "cpu":
+            force_cpu()
+        return pinned.split(",")[0]
+    deadline_s = deadline_s or float(os.environ.get("SDVG_BENCH_PROBE_S", 600))
+    import threading
+    done = threading.Event()
+
+    def _monitor() -> None:
+        if done.wait(deadline_s):
+            return
+        msg = (f"{tool}: jax backend init hung >{deadline_s:.0f}s — the TPU "
+               "tunnel relay is likely down. Restart the relay or set "
+               "JAX_PLATFORMS=cpu for a smoke run. No measurements taken.")
+        print(msg, file=sys.stderr, flush=True)
+        print(msg, flush=True)
+        os._exit(INIT_HUNG_RC)
+
+    threading.Thread(target=_monitor, daemon=True).start()
+    import jax
+    import jax.numpy as jnp
+    d = jax.devices()
+    x = jnp.ones((8, 8))
+    v = float((x @ x).sum().block_until_ready())
+    assert v == 512.0, v
+    done.set()
+    return d[0].platform

@@ -12,7 +12,7 @@ import sys
 
 import pytest
 
-from sd_video_gen_tpu.utils.backend import probe_backend
+from sd_video_gen_tpu.utils.backend import init_backend_or_die, probe_backend
 
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
@@ -60,6 +60,81 @@ def test_probe_dead_backend_exits_fast(monkeypatch):
     monkeypatch.setattr(subprocess, "run", hang)
     with pytest.raises(SystemExit, match="relay is likely down"):
         probe_backend("bench", timeout_s=1)
+
+
+def test_init_backend_pinned_cpu_shortcut(monkeypatch):
+    # JAX_PLATFORMS=cpu: no watchdog thread, no device round trip needed
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert init_backend_or_die("t") == "cpu"
+
+
+def test_init_backend_live_path_returns_platform():
+    """Un-pinned env + healthy (cpu) backend: the full in-process path must
+    round-trip a matmul and return the platform, monitor disarmed."""
+    code = """
+import os, sys
+os.environ.pop("JAX_PLATFORMS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from sd_video_gen_tpu.utils.backend import init_backend_or_die
+print(init_backend_or_die("t", deadline_s=120))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=180, cwd=ROOT,
+        env={k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"})
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert proc.stdout.split()[-1] == "cpu"
+
+
+def test_init_backend_hung_init_exits_one():
+    """A jax.devices() that never returns must not hang the tool: the
+    monitor thread prints the actionable one-liner and exits rc=1."""
+    code = """
+import os, sys, time
+os.environ.pop("JAX_PLATFORMS", None)
+import jax
+jax.devices = lambda *a, **k: time.sleep(3600)
+from sd_video_gen_tpu.utils.backend import init_backend_or_die
+init_backend_or_die("toolx", deadline_s=1.0)
+print("UNREACHABLE")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120, cwd=ROOT,
+        env={k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"})
+    assert proc.returncode == 17  # INIT_HUNG_RC: retryable, see backend.py
+    assert "relay is likely down" in proc.stdout
+    assert "UNREACHABLE" not in proc.stdout
+
+
+def test_bench_supervisor_retries_hung_init_then_gives_up():
+    """Un-pinned bench must supervise: retry INIT_HUNG_RC children with the
+    REMAINING time budget, pass through other rcs, exit 1 when exhausted."""
+    code = """
+import os, sys
+os.environ.pop("JAX_PLATFORMS", None)
+os.environ["SDVG_BENCH_RETRIES"] = "2"
+sys.path.insert(0, %r)
+import bench, subprocess
+calls = []
+def fake_call(cmd, env=None):
+    calls.append(float(env["SDVG_BENCH_HARD_S"]))
+    assert env["SDVG_BENCH_CHILD"] == "1"
+    return 17
+subprocess.call = fake_call
+try:
+    bench.main()
+except SystemExit as e:
+    print("rc", e.code, "calls", len(calls),
+          "monotonic", all(b <= a for a, b in zip(calls, calls[1:])))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code % os.path.abspath(ROOT)],
+        capture_output=True, text=True, timeout=120,
+        env={k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"})
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert "rc 1 calls 3 monotonic True" in proc.stdout
 
 
 def test_bench_watchdog_emits_partial_results():

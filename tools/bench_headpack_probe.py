@@ -39,9 +39,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-from sd_video_gen_tpu.utils.backend import probe_backend
+from sd_video_gen_tpu.utils.backend import init_backend_or_die
 
-probe_backend("bench_headpack_probe")
+init_backend_or_die("bench_headpack_probe")
 
 import jax
 import jax.numpy as jnp

@@ -30,9 +30,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-from sd_video_gen_tpu.utils.backend import probe_backend
+from sd_video_gen_tpu.utils.backend import init_backend_or_die
 
-probe_backend("rehearse_real_weights")  # fail fast on a dead TPU relay
+init_backend_or_die("rehearse_real_weights")  # fail fast on a dead TPU relay
 
 import jax
 import jax.numpy as jnp
