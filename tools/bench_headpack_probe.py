@@ -62,20 +62,21 @@ def main():
     # (a) status quo: heads as a batch dim, contraction 40 (padded to 128)
     def qk_batched(q, k):
         return jnp.einsum("bhtd,bhsd->bhts", q, k,
-                          preferred_element_type=jnp.bfloat16)
+                          preferred_element_type=q.dtype)
 
     # (b) block-diagonal pack: q rows land in their head's 40-lane slot of a
     # 120-lane contraction; k concatenates heads along d. One (3T,120)@(120,T)
     # matmul per pack yields the exact per-head scores (no cross terms:
     # q's zero blocks mask the other heads' k lanes).
-    eye = jnp.eye(P, dtype=jnp.bfloat16)                      # (P, P)
     def qk_packed(q, k):
+        b, p, t, hd = q.shape
+        eye = jnp.eye(p, dtype=q.dtype)                       # (P, P)
         qz = jnp.einsum("bhtd,hg->bhtgd", q, eye)             # zero-pad slots
-        qz = qz.reshape(B, P * T, P * d)                      # (B, 3T, 120)
-        kp = k.transpose(0, 2, 1, 3).reshape(B, T, P * d)     # (B, T, 120)
+        qz = qz.reshape(b, p * t, p * hd)                     # (B, 3T, 120)
+        kp = k.transpose(0, 2, 1, 3).reshape(b, t, p * hd)    # (B, T, 120)
         s = jnp.einsum("bxe,bse->bxs", qz, kp,
-                       preferred_element_type=jnp.bfloat16)   # (B, 3T, T)
-        return s.reshape(B, P, T, T)
+                       preferred_element_type=q.dtype)        # (B, 3T, T)
+        return s.reshape(b, p, t, t)
 
     # exactness first (f32 check at small T so the probe can't drift wrong)
     qs, ks = q[:, :, :256].astype(jnp.float32), k[:, :, :256].astype(jnp.float32)
