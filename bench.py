@@ -202,9 +202,9 @@ def scenario_vae():
     """Same 16-frame AR pipeline with the real SD VAE codec. Random-init
     weights (none shipped in this env) are FLOP/layout-identical to
     converted SD-v1.4. Decode runs per-frame-step via lax.map to bound the
-    decoder's 64x-upsampled activations. Batch knee is flat (B=32: 3,100 /
-    64: 3,187 / 128: 3,211 f/s on v5e) — the VAE convs, not batch
-    occupancy, bound this scenario — so the default stays at 32."""
+    decoder's 64x-upsampled activations. Batch knee is flat (r4 re-sweep:
+    B=32: 3,102 / 64: 3,232 / 128: 3,231 f/s on v5e) — the VAE convs, not
+    batch occupancy, bound this scenario — so the default stays at 32."""
     from sd_video_gen_tpu.diffusion.vae_codec import VAECodec
     from sd_video_gen_tpu.ops.rollout import ar_rollout
 
