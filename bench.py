@@ -490,7 +490,46 @@ def main():
     if pinned != "cpu" and os.environ.get("SDVG_BENCH_CHILD") != "1" \
             and os.environ.get("SDVG_BENCH_RETRIES", "3") != "0":
         _supervise()
-    _probe_backend()
+
+    # Hard watchdog: armed BEFORE backend init so SDVG_BENCH_HARD_S bounds
+    # init + scenarios TOGETHER — the supervisor hands each child the
+    # remaining budget as HARD_S, and arming after init would let a
+    # slow-but-successful init push the hard emit past the driver's own
+    # timeout (rc=124, nothing emitted — the failure this machinery
+    # exists to prevent). The relay can also die MID-RUN (observed r4:
+    # probe passed, the next 1024x1024 matmul hung forever); a hang inside
+    # a device op never returns to Python, so only this daemon thread can
+    # force-emit what completed.
+    import threading
+    hard_s = float(os.environ.get("SDVG_BENCH_HARD_S", 3300))
+    results = {}
+    results_lock = threading.Lock()
+
+    def _watchdog():
+        time.sleep(hard_s)
+        rc = 1
+        try:
+            with results_lock:
+                snap = dict(results)
+            if snap:
+                print(json.dumps({"watchdog": "fired", "after_s": hard_s,
+                                  "note": "backend hung mid-run; emitting "
+                                          "completed scenarios"}), flush=True)
+                _emit_final(snap)
+                rc = 0
+            else:
+                print("bench: watchdog fired with zero completed scenarios "
+                      "— backend hung mid-run. No measurements taken.",
+                      flush=True)
+        finally:
+            os._exit(rc)
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    # Init deadline capped under the hard budget so a hung init surfaces as
+    # the retryable rc=17 while the supervisor still has budget to retry.
+    probe_s = min(float(os.environ.get("SDVG_BENCH_PROBE_S", 600)),
+                  max(hard_s - 60.0, 30.0))
+    _probe_backend(probe_s)
     from sd_video_gen_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
@@ -499,29 +538,6 @@ def main():
     # a couple of minutes.
     budget = float(os.environ.get("SDVG_BENCH_BUDGET_S", 2400))
     t_start = time.perf_counter()
-    results = {}
-
-    # Hard watchdog: the probe only certifies the relay at t=0 — it can die
-    # MID-RUN (observed r4: probe passed, the next 1024x1024 matmul hung
-    # forever). A hang inside a device op never returns to Python, so the
-    # soft-budget check can't fire; this daemon thread force-emits whatever
-    # completed and exits before the driver's own timeout turns the whole
-    # run into an empty rc=124.
-    import threading
-    hard_s = float(os.environ.get("SDVG_BENCH_HARD_S", 3300))
-
-    def _watchdog():
-        time.sleep(hard_s)
-        if results:
-            print(json.dumps({"watchdog": "fired", "after_s": hard_s,
-                              "note": "backend hung mid-run; emitting "
-                                      "completed scenarios"}), flush=True)
-            _emit_final(results)
-            os._exit(0)
-        print("bench: watchdog fired with zero completed scenarios — "
-              "backend hung mid-run. No measurements taken.", flush=True)
-        os._exit(1)
-    threading.Thread(target=_watchdog, daemon=True).start()
 
     for name, fn in SCENARIOS:
         if ONLY and not any(name == o or name.startswith(o) for o in ONLY):
@@ -536,8 +552,9 @@ def main():
             print(json.dumps({"scenario": name, "error":
                               f"{type(e).__name__}: {e}"[:500]}), flush=True)
             continue
-        results[name] = {"value": round(value, 2), "unit": unit,
-                         "vs_baseline": round(value / BASELINES[name], 2)}
+        with results_lock:
+            results[name] = {"value": round(value, 2), "unit": unit,
+                             "vs_baseline": round(value / BASELINES[name], 2)}
         print(json.dumps({"scenario": name, **results[name]}), flush=True)
 
     if not results:

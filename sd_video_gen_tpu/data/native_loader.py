@@ -213,10 +213,18 @@ class NativeBatchLoader:
         if len(order) == 0:
             return
         self._epoch += 1
+        # Fold the process index into the augmentation seed: the C++ flip
+        # RNG is keyed on (seed, batch_idx) (fastloader.cpp), and batch_idx
+        # is the GLOBAL batch number on every process — an un-salted seed
+        # would give local position j on every host the same flip coin in
+        # every global batch, halving the assembled batch's augmentation
+        # entropy. pid=0 leaves the single-process stream byte-identical.
+        pid = self.process_shard[0] if self.process_shard else 0
+        aug_seed = self._epoch ^ ((pid * 0x9E3779B97F4A7C15) & (2**64 - 1))
         n_batches = self._lib.fl_start_epoch(
             self._h, order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(order), local_bs, self.n_threads, self.prefetch,
-            1 if self.flip else 0, self._epoch)
+            1 if self.flip else 0, aug_seed)
         if n_batches < 0:
             raise ValueError("fastloader rejected the epoch order "
                              "(clip id out of range for the cache)")

@@ -28,6 +28,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from sd_video_gen_tpu.parallel.constrain import tp_constrain
+
 
 @dataclasses.dataclass(frozen=True)
 class UNetConfig:
@@ -103,7 +105,6 @@ class ResnetBlockT(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
-        from sd_video_gen_tpu.parallel.constrain import tp_constrain
         c = self.cfg
         h = _gn(c, "norm1")(x)
         h = nn.silu(h)
@@ -137,7 +138,6 @@ class CrossAttention(nn.Module):
         H = c.attention_heads
         hd = self.query_dim // H
         ctx = x if context is None else context
-        from sd_video_gen_tpu.parallel.constrain import tp_constrain
         # Under TP, to_q/to_k/to_v are column-parallel (heads split over the
         # model axis) and to_out_0 is row-parallel. Constrain the projected
         # activations channel-sharded and the (B*H, T, hd) layout
@@ -181,7 +181,6 @@ class FeedForwardGEGLU(nn.Module):
         # spmd_partitioner 'involuntary full rematerialization' per FF
         # block). Column-parallel h/gate + row-parallel out_proj is the
         # Megatron pairing with zero intra-FF collectives.
-        from sd_video_gen_tpu.parallel.constrain import tp_constrain
         h = tp_constrain(_dense(c, 4 * self.dim, "geglu_proj_h")(x), -1)
         gate = tp_constrain(_dense(c, 4 * self.dim, "geglu_proj_gate")(x), -1)
         h = h * nn.gelu(gate, approximate=False)

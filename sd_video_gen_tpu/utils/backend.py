@@ -40,20 +40,29 @@ def force_cpu() -> None:
     jax.config.update("jax_platforms", "cpu")
 
 
-def probe_backend(tool: str = "tool", timeout_s: float | None = None) -> str:
-    """Return the default platform name, or SystemExit fast if it's dead.
-
-    Shortcut: if JAX_PLATFORMS pins a host platform (cpu), the caller asked
-    for a tunnel-free run — ENFORCE it at config level (the env var alone
-    is overridden by the axon sitecustomize, see force_cpu) and skip the
-    subprocess round trip.
-    """
+def _pinned_host_platform() -> str | None:
+    """First JAX_PLATFORMS token IF it pins a tunnel-free host platform,
+    else None. Enforces a cpu pin at config level (the env var alone is
+    overridden by the axon sitecustomize, see force_cpu). Shared by both
+    probe entry points so the tunnel-alias list lives in one place."""
     pinned = os.environ.get("JAX_PLATFORMS", "")
     if pinned and "tpu" not in pinned and "axon" not in pinned \
             and "proxy" not in pinned:
         if pinned.split(",")[0] == "cpu":
             force_cpu()
         return pinned.split(",")[0]
+    return None
+
+
+def probe_backend(tool: str = "tool", timeout_s: float | None = None) -> str:
+    """Return the default platform name, or SystemExit fast if it's dead.
+
+    Shortcut: if JAX_PLATFORMS pins a host platform (cpu), the caller asked
+    for a tunnel-free run — skip the subprocess round trip.
+    """
+    host = _pinned_host_platform()
+    if host is not None:
+        return host
     timeout_s = timeout_s or float(os.environ.get("SDVG_BENCH_PROBE_S", 90))
     # Enumerating devices is NOT enough: a half-dead relay answers
     # jax.devices() but hangs the first real transfer/execution (observed
@@ -98,12 +107,9 @@ def init_backend_or_die(tool: str = "tool",
     probe_backend stays for callers that need a fallback path after
     failure (they must not poison their own process with a hung backend).
     """
-    pinned = os.environ.get("JAX_PLATFORMS", "")
-    if pinned and "tpu" not in pinned and "axon" not in pinned \
-            and "proxy" not in pinned:
-        if pinned.split(",")[0] == "cpu":
-            force_cpu()
-        return pinned.split(",")[0]
+    host = _pinned_host_platform()
+    if host is not None:
+        return host
     deadline_s = deadline_s or float(os.environ.get("SDVG_BENCH_PROBE_S", 600))
     import threading
     done = threading.Event()

@@ -151,7 +151,7 @@ bench.SCENARIOS = [
     ("wd_hang", lambda: time.sleep(3600)),
 ]
 bench.BASELINES.update({"wd_fast": 1.0, "wd_hang": 1.0})
-bench._probe_backend = lambda: None
+bench._probe_backend = lambda *a, **k: None
 bench.main()
 """
     proc = subprocess.run(

@@ -69,6 +69,38 @@ def test_flip_augmentation(cache):
     loader.close()
 
 
+def _flip_pattern(loader, ds, epochs):
+    """Per-position flip booleans over ``epochs`` iterations of a loader."""
+    pat = []
+    for _ in range(epochs):
+        for idx, frames in loader:
+            for j, clip_id in enumerate(idx):
+                _, ref = ds[clip_id]
+                if (frames[j] == ref).all():
+                    pat.append(False)
+                else:
+                    assert (frames[j] == ref[:, :, ::-1]).all()
+                    pat.append(True)
+    return pat
+
+
+def test_flip_seed_decorrelated_across_processes(cache):
+    """The C++ flip RNG is keyed on (seed, global batch idx) — identical on
+    every process unless the loader salts the seed per process. Matching
+    local positions on two hosts must NOT share one flip coin stream."""
+    cache_dir, ds = cache
+    pats = []
+    for p in (0, 1):
+        loader = NativeBatchLoader(cache_dir, "train", batch_size=8,
+                                   shuffle=False, flip=True, seed=0,
+                                   process_shard=(p, 2))
+        pats.append(_flip_pattern(loader, ds, epochs=4))
+        loader.close()
+    assert len(pats[0]) == len(pats[1]) == 16  # 4 epochs x 4 local clips
+    # 16 independent coins: P(identical) = 2^-16 if properly decorrelated
+    assert pats[0] != pats[1]
+
+
 def test_latent_records_flat(cache, tmp_path):
     """f32 flat records (latent cache) load without augmentation."""
     lat = np.random.default_rng(0).standard_normal((6, 5, 64)).astype(np.float32)
