@@ -323,3 +323,39 @@ def test_unet_dp_tp_batch_stays_sharded(rng):
             mesh, P("data")))(sharded, zb, t, ctx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_dp_serving_denoise_has_zero_collectives(rng):
+    """DP serving (replicated weights, batch over 'data') is the topology
+    behind the 'v5e-8 = 8x the single-chip 9.86 f/s' extrapolation in
+    BASELINE.md. Linear scaling holds iff the compiled per-step program has
+    NO inter-device communication — certify it from the HLO: a denoise scan
+    over an 8-way data mesh must contain zero all-reduce / all-gather /
+    collective-permute / all-to-all ops, and its numerics must match the
+    single-device program."""
+    model, params = _tiny_unet()
+    z = jnp.asarray(rng.standard_normal((8, 8, 8, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((8, 2, 32)), jnp.float32)
+
+    def scan_denoise(p, z):
+        def body(x, t):
+            eps = model.apply(p, x, jnp.broadcast_to(t, (x.shape[0],)), ctx)
+            return x - 0.1 * eps, None
+        out, _ = jax.lax.scan(body, z, jnp.arange(3, dtype=jnp.int32))
+        return out
+
+    ref = jax.jit(scan_denoise)(params, z)
+
+    mesh = make_mesh("data=8")
+    repl = jax.device_put(params, NamedSharding(mesh, P()))
+    zb = jax.device_put(z, NamedSharding(mesh, P("data")))
+    compiled = (jax.jit(scan_denoise,
+                        out_shardings=NamedSharding(mesh, P("data")))
+                .lower(repl, zb).compile())
+    txt = compiled.as_text()
+    comm = {op: txt.count(op) for op in
+            ("all-reduce", "all-gather", "collective-permute", "all-to-all")}
+    assert not any(comm.values()), f"DP serving program communicates: {comm}"
+    out = compiled(repl, zb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
