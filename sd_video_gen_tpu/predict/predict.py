@@ -379,6 +379,9 @@ def main(argv=None):
                             exact_frames=exact)
     n_clips = min(len(dataset), args.max_clips)
     n_done = 0
+    n_batches = 0
+    first_sync_s = None  # end of the first completed batch (trace+compile
+    #                      +first device round live in this window)
     stage_s = {"data": 0.0, "dispatch": 0.0, "decode": 0.0, "io": 0.0}
     t_start = time.perf_counter()
 
@@ -394,7 +397,7 @@ def main(argv=None):
 
     def process(pending):
         """Fetch, decode, and write one completed batch (host side)."""
-        nonlocal n_done
+        nonlocal n_done, first_sync_s
         context, preds, n_items = pending
         t2 = time.perf_counter()
         # sequence layout matching the reference output: context minus last
@@ -417,6 +420,8 @@ def main(argv=None):
             n_done += 1
         stage_s["decode"] += t3 - t2
         stage_s["io"] += time.perf_counter() - t3
+        if first_sync_s is None:
+            first_sync_s = time.perf_counter() - t_start
 
     # Serving path: clips are batched through ONE jitted rollout program
     # (the reference looped batch_size=1 — prediction/predict.py:58), and
@@ -425,6 +430,7 @@ def main(argv=None):
     # rollout on the device (the reference blocked on .cpu() per clip).
     pending = None
     for start in range(0, n_clips, args.batch_clips):
+        n_batches += 1
         t0 = time.perf_counter()
         idxs = range(start, min(start + args.batch_clips, n_clips))
         items = [dataset[i] for i in idxs]
@@ -449,6 +455,14 @@ def main(argv=None):
             "stage_s": {k: round(v, 3) for k, v in stage_s.items()},
             "total_s": round(time.perf_counter() - t_start, 3),
             "clips": n_done, "pred_frames_per_clip": args.pred_frames,
+            "batches": n_batches,
+            # steady-state window = everything after the FIRST batch's
+            # results were fetched: jit trace + XLA compile + the first
+            # device round all land before that timestamp, so
+            # (clips - batch_1) * pred_frames / (total - first_sync) is the
+            # warm serving rate (tools/bench_cli_serving.py computes it)
+            "first_sync_s": (round(first_sync_s, 3)
+                             if first_sync_s is not None else None),
             "note": "dispatch includes jit trace/compile on the first "
                     "batch; device rollout time hides inside decode "
                     "(async-pipelined loop)"}))

@@ -208,3 +208,33 @@ def test_save_frames_no_collision(tmp_path, monkeypatch):
     assert sorted(os.listdir("outputs")) == sorted(["0", "2",
                                                     os.path.basename(f1),
                                                     os.path.basename(f2)])
+
+
+def test_timing_reports_steady_state_window(tmp_path, monkeypatch, capsys):
+    """--timing must carry first_sync_s (end of the FIRST completed batch)
+    and the batch count: tools/bench_cli_serving.py computes the warm
+    serving rate as (clips - batch_1) * pred / (total - first_sync) — a
+    missing or misplaced timestamp silently turns that into a
+    compile-polluted number again (the r4 two-process measurement bug)."""
+    import json
+
+    from sd_video_gen_tpu.data.synthetic import generate_bouncing_ball_tree
+    from sd_video_gen_tpu.predict.predict import main
+
+    root = generate_bouncing_ball_tree(str(tmp_path / "ball"), 1, 2, 10, 32)
+    (tmp_path / "configs").mkdir()
+    (tmp_path / "configs" / "tcfg.yml").write_text(
+        "BATCH_SIZE:\n - 2\nFRAMES_PER_CLIP:\n - 5\nFRAMES_TO_PREDICT:\n"
+        " - 2\nFRAME_SIZE: 32\nDIM_MODEL:\n - 32\nNUM_HEADS:\n - 4\n"
+        "NUM_ENCODER_LAYERS:\n - 1\nNUM_DECODER_LAYERS:\n - 1\n")
+    monkeypatch.chdir(tmp_path)
+    main(["--dataset", "ball", "--config", "tcfg",
+          "--config_dir", str(tmp_path / "configs"), "--folder", root,
+          "--naive", "True", "--pred_frames", "2", "--max_clips", "4",
+          "--batch_clips", "2", "--timing"])
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    t = json.loads(lines[-1])
+    assert t["clips"] == 4 and t["batches"] == 2
+    assert t["first_sync_s"] is not None
+    assert 0 < t["first_sync_s"] <= t["total_s"]
