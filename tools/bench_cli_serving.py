@@ -184,8 +184,14 @@ def main():
     if args.n_batches < 3:
         ap.error("--n_batches must be >=3 for a meaningful steady window")
 
-    from sd_video_gen_tpu.utils.backend import init_backend_or_die
-    init_backend_or_die("bench_cli_serving")
+    # This parent needs jax only to init/save the random checkpoint —
+    # pin it to CPU so it never opens a tunnel session: a held session
+    # can starve the measured CLI child's own session (observed r4: a
+    # held tunnel session + a concurrently-opened one -> the second hangs
+    # >300 s with the relay up). The CLI children are bounded by
+    # --cli_timeout_s.
+    from sd_video_gen_tpu.utils.backend import force_cpu
+    force_cpu()
     max_clips = args.n_batches * args.streams  # exact multiple: one program
     os.makedirs(args.workdir, exist_ok=True)
     paths = prepare(args.workdir, max_clips)
