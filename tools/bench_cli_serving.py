@@ -16,9 +16,11 @@ before it), so
 
 is the warm product-CLI serving rate over batches 2..N, comparable to the
 bench scenario. (An earlier two-process marginal-subtraction design was
-poisoned by per-process compiles — the persistent compile cache does not
-hold across processes on the tunneled backend — and by a ragged tail batch
-triggering a full recompile; measuring within one process avoids both.)
+poisoned by per-process cold starts — measured at 200-270 s even on a
+persistent-cache HIT: jit trace on a 1-core host + loading the ~170 MB
+cached executable through the tunnel dominate, not recompilation — and by
+a ragged tail batch triggering a fresh compile; measuring within one
+process avoids both.)
 Batch 2 overlaps the first sync point (the loop is software-pipelined one
 batch deep), so steady_fps includes the pipeline overlap by design and
 slightly flatters by at most one batch's overlap; with >=6 steady batches
