@@ -67,6 +67,10 @@ CONTEXT = 5
 BASELINES = {"pixel_ar16": 150.0, "pixel_ar16_kvcache": 150.0,
              "pixel_ar16_kvcache_int8": 150.0, "vae_ar16": 115.0,
              "vae_denoise_ar4": 0.9, "vae_denoise_ar4_8streams": 0.9,
+             # same reference pipeline estimate: the reference has no fast
+             # sampler, so the dpmpp scenario is measured against the same
+             # 0.9 f/s DDIM-tail baseline
+             "vae_denoise_ar4_8streams_dpmpp5": 0.9,
              # tuned-train baseline: est. 10 steps/s x 6 clips on the 3090
              "train_flagship": 10.0, "train_flagship_tuned": 60.0}
 
@@ -240,13 +244,17 @@ def scenario_vae():
     return BATCH * PRED_FRAMES * REPEATS / best, "frames/sec/chip"
 
 
-def scenario_denoise(batch: int = 1):
+def scenario_denoise(batch: int = 1, sampler: str = "ddim",
+                     solver_steps: int | None = None):
     """North-star pipeline: every rollout step refined by the SD UNet partial
     denoise at 512px (reference prediction/predict.py --denoise,
     denoise_start_step=40 → 10 DDIM steps/frame). bf16 UNet: its 4096-token
     spatial attention dispatches to the Pallas flash kernel (PARITY.md).
     batch>1 = multi-stream serving: per-item UNet step cost halves by B=8
-    (measured 16.8 → 8.4 ms/item), so chip throughput roughly doubles."""
+    (measured 16.8 → 8.4 ms/item), so chip throughput roughly doubles.
+    sampler='dpmpp' + solver_steps: the opt-in DPM-Solver++(2M) tail
+    (--denoise_sampler dpmpp) — 5 evals replace the 10-step DDIM at
+    equal-or-better ODE accuracy (tests/test_dpmpp.py)."""
     from sd_video_gen_tpu.config import Config
     from sd_video_gen_tpu.diffusion.sd import SDPipeline
     from sd_video_gen_tpu.diffusion.refine import make_denoise_refiner
@@ -257,7 +265,9 @@ def scenario_denoise(batch: int = 1):
     cfg = Config(config_name="bench", frame_size=FRAME_SIZE)
     pipe = SDPipeline(frame_size=512, dtype=jnp.bfloat16)
     refine_apply, rp = make_denoise_refiner(cfg, start_step=40,
-                                            pipeline=pipe, hi_res=512)
+                                            pipeline=pipe, hi_res=512,
+                                            sampler=sampler,
+                                            solver_steps=solver_steps)
     rp = _bf16(rp)
     codec = VAECodec(FRAME_SIZE, params=pipe.vae.params, cfg=pipe.vae.cfg)
     model = _flagship_model(codec.latent_dim)
@@ -419,7 +429,14 @@ SCENARIOS = [("pixel_ar16", scenario_pixel),
              # NOTES_r3.md; f32 parity point: 35.7 steps/s).
              ("train_flagship",
               lambda: scenario_train(precision="bf16_full")),
-             ("train_flagship_tuned", scenario_train_tuned)]
+             ("train_flagship_tuned", scenario_train_tuned),
+             # LAST (newest scenario = highest compile risk on a cold run;
+             # the watchdog's partial emit keeps everything above it):
+             # the opt-in fast-sampler serving point (--denoise_sampler
+             # dpmpp --denoise_solver_steps 5)
+             ("vae_denoise_ar4_8streams_dpmpp5",
+              lambda: scenario_denoise(batch=8, sampler="dpmpp",
+                                       solver_steps=5))]
 
 
 def _probe_backend(timeout_s=None):

@@ -29,7 +29,9 @@ from sd_video_gen_tpu.diffusion.sd import SDPipeline
 
 def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = None,
                          num_inference_steps: int = 50,
-                         hi_res: int | None = 512):
+                         hi_res: int | None = 512,
+                         sampler: str = "ddim",
+                         solver_steps: int | None = None):
     """Build the refine hook for ar_rollout.
 
     Returns ``(refine_apply, refine_params)``:
@@ -40,6 +42,10 @@ def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = Non
     ``hi_res=None`` denoises directly on the native-resolution latent with no
     pixel round trip — the evaluation harness variant (evaluation/
     predict_fvd.py runs gen_i2i at native resolution with start_step=48).
+
+    ``sampler='dpmpp'`` swaps the DDIM tail for DPM-Solver++(2M) over the
+    same noise interval (``solver_steps`` UNet evals, default half the
+    tail) — the opt-in fast serving path; 'ddim' is reference parity.
     """
     pipe = pipeline or SDPipeline(frame_size=hi_res or cfg.frame_size)
     lo = cfg.frame_size
@@ -75,7 +81,8 @@ def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = Non
                                 start_step=start_step,
                                 num_inference_steps=num_inference_steps,
                                 noise_rng=jax.random.fold_in(
-                                    jax.random.PRNGKey(start_step), step))
+                                    jax.random.PRNGKey(start_step), step),
+                                sampler=sampler, solver_steps=solver_steps)
             return den.transpose(0, 3, 1, 2).reshape(B, -1)
 
         params = {"vae": cast(pipe.vae.params), "unet": cast(pipe.unet_params),
@@ -112,7 +119,8 @@ def make_denoise_refiner(cfg, start_step: int, pipeline: SDPipeline | None = Non
                             start_step=start_step,
                             num_inference_steps=num_inference_steps,
                             noise_rng=jax.random.fold_in(
-                                jax.random.PRNGKey(start_step), step))
+                                jax.random.PRNGKey(start_step), step),
+                            sampler=sampler, solver_steps=solver_steps)
         flat_hi = den.transpose(0, 3, 1, 2).reshape(B, -1)
         img_den = vae_hi.decode_latents(flat_hi, params=vp)     # (B, 512, 512, 3)
         img_back = jax.image.resize(img_den, (B, lo, lo, 3), method="nearest")

@@ -78,6 +78,86 @@ class DDIMSchedule:
         return jnp.sqrt(a_prev) * x0 + direction
 
 
+class DPMSolverPPSchedule:
+    """DPM-Solver++(2M): 2nd-order multistep solver in data-prediction form
+    (Lu et al. 2022, arXiv:2211.01095) — the opt-in FAST sampler for the
+    partial-denoise path. NOT a reference-parity component (the reference
+    ships only diffusers-0.2.3 DDIM/LMS — utils/sd_utils.py:70-72,232-260);
+    it exists because the 10-step DDIM tail dominates the north-star
+    pipeline's cost and a 2nd-order solver reaches comparable ODE accuracy
+    in ~half the UNet evaluations.
+
+    Covers the same noise interval as the DDIM tail it replaces: construct
+    with ``t_start`` = the DDIM grid's ``timesteps[start_step]`` and
+    ``num_steps`` solver steps; the ``num_steps + 1`` level grid is
+    UNIFORM IN LAMBDA (half-logSNR) from lambda(t_start) to lambda(0) —
+    the paper's recommended spacing, and decisively better than uniform-t
+    here (measured on the analytic Gaussian case in tests/test_dpmpp.py:
+    5 lambda-spaced solver steps reach 2.5x lower ODE error than the
+    10-step uniform-t DDIM tail; 5 t-spaced steps do NOT beat it).
+
+    All per-transition coefficients are precomputed dense arrays; ``step``
+    is pure gather-math, so the whole solve compiles into one lax.scan
+    (house scheduler contract). The final transition drops to 1st order
+    (``lower_order_final`` — diffusers' stability default for small step
+    counts; costs ~30% accuracy on the analytic case but avoids 2nd-order
+    extrapolation into the t=0 boundary on real models).
+    """
+
+    def __init__(self, num_steps: int, t_start: float,
+                 num_train_timesteps=1000, beta_start=0.00085,
+                 beta_end=0.012):
+        if num_steps < 2:
+            raise ValueError("DPM-Solver++(2M) needs num_steps >= 2")
+        acp = _alphas_cumprod(num_train_timesteps, beta_start, beta_end)
+        t_all = np.arange(num_train_timesteps, dtype=np.float64)
+        lam_all = 0.5 * np.log(acp) - 0.5 * np.log1p(-acp)  # increasing as t->0
+        lam = np.linspace(np.interp(float(t_start), t_all, lam_all),
+                          lam_all[0], num_steps + 1)
+        # t for the eps-model conditioning (lam_all decreases with t: reverse
+        # for np.interp's ascending-x contract)
+        ts = np.interp(lam, lam_all[::-1], t_all[::-1])
+        a2 = 1.0 / (1.0 + np.exp(-2.0 * lam))     # alpha_t^2 = sigmoid(2 lam)
+        alpha = np.sqrt(a2)                       # VP alpha_t
+        sigma = np.sqrt(1.0 - a2)                 # VP sigma_t
+        h = lam[1:] - lam[:-1]                    # (k,) > 0
+
+        # x_{i+1} = c_x[i] * x + c_d[i] * D_i
+        c_x = sigma[1:] / sigma[:-1]
+        c_d = -alpha[1:] * np.expm1(-h)
+        # D_i = w_cur[i] * x0_i + w_prev[i] * x0_{i-1}
+        r = np.ones(num_steps)
+        r[1:] = h[:-1] / h[1:]
+        w_cur = 1.0 + 1.0 / (2.0 * r)
+        w_prev = -1.0 / (2.0 * r)
+        w_cur[0], w_prev[0] = 1.0, 0.0            # no history yet
+        w_cur[-1], w_prev[-1] = 1.0, 0.0          # lower_order_final
+        self.num_steps = num_steps
+        self.timesteps = ts[:-1]                  # t_i fed to the eps model
+        self.alpha = jnp.asarray(alpha, jnp.float32)
+        self.sigma = jnp.asarray(sigma, jnp.float32)
+        self._c_x = jnp.asarray(c_x, jnp.float32)
+        self._c_d = jnp.asarray(c_d, jnp.float32)
+        self._w_cur = jnp.asarray(w_cur, jnp.float32)
+        self._w_prev = jnp.asarray(w_prev, jnp.float32)
+
+    def add_noise_at_start(self, x, noise):
+        """Forward-noise x to the solve's starting level (level 0) —
+        the DDIMSchedule.add_noise_at counterpart."""
+        return self.alpha[0] * x + self.sigma[0] * noise
+
+    def step(self, eps, i, x, x0_prev):
+        """One solver transition at index i (jittable; i may be traced).
+
+        Returns (x_next, x0) — carry x0 into the next step's x0_prev.
+        For i == 0 the w_prev coefficient is 0, so the (zeros) x0_prev
+        placeholder never contributes.
+        """
+        x0 = (x - self.sigma[i] * eps) / self.alpha[i]
+        d = self._w_cur[i] * x0 + self._w_prev[i] * x0_prev
+        return self._c_x[i] * x + self._c_d[i] * d, x0
+
+
 class LMSSchedule:
     """LMSDiscrete with order-4 integrated-Lagrange coefficients.
 

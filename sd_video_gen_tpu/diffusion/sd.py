@@ -202,13 +202,47 @@ class SDPipeline:
                                     jnp.float32(guidance_scale))
 
     def i2i_scan(self, unet_params, latents, text_embeddings, guidance_scale,
-                 start_step: int, num_inference_steps: int, noise_rng):
-        """Pure DDIM partial-denoise body (traceable; params are arguments).
+                 start_step: int, num_inference_steps: int, noise_rng,
+                 sampler: str = "ddim", solver_steps: int | None = None):
+        """Pure partial-denoise body (traceable; params are arguments).
 
         Used by gen_i2i_latents and by the rollout refiner
         (diffusion/refine.py) so params never become jaxpr constants.
+
+        ``sampler='ddim'`` (default) is the reference-parity path
+        (utils/sd_utils.py:232-260). ``sampler='dpmpp'`` swaps the tail for
+        DPM-Solver++(2M) over the SAME noise interval — ``start_step``
+        still indexes the DDIM grid so the noising level is identical —
+        with ``solver_steps`` UNet evaluations (default: half the DDIM
+        tail, the measured equal-or-better accuracy point —
+        tests/test_dpmpp.py).
         """
         sched = DDIMSchedule(num_inference_steps)
+        if sampler == "dpmpp":
+            from sd_video_gen_tpu.diffusion.schedulers import (
+                DPMSolverPPSchedule)
+            tail = sched.n_steps - start_step
+            k = solver_steps or max(2, tail // 2)
+            dpm = DPMSolverPPSchedule(k, float(sched.timesteps[start_step]))
+            timesteps = jnp.asarray(dpm.timesteps, jnp.float32)
+            x = latents
+            if start_step > 0:
+                noise = jax.random.normal(noise_rng, x.shape, x.dtype)
+                x = dpm.add_noise_at_start(x, noise)
+
+            def dpm_body(carry, i):
+                x, x0_prev = carry
+                eps = self._unet_eps(unet_params, x, timesteps[i],
+                                     text_embeddings, guidance_scale)
+                x, x0 = dpm.step(eps, i, x, x0_prev)
+                return (x, x0), None
+
+            (x, _), _ = jax.lax.scan(dpm_body, (x, jnp.zeros_like(x)),
+                                     jnp.arange(k))
+            return x
+        if sampler != "ddim":
+            raise ValueError(f"unknown sampler '{sampler}' "
+                             "(expected 'ddim' or 'dpmpp')")
         timesteps = jnp.asarray(sched.timesteps.copy(), jnp.float32)
         x = latents
         if start_step > 0:

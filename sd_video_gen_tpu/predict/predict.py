@@ -257,6 +257,15 @@ def main(argv=None):
                         help="npy table from tools/export_text_embeddings.py "
                              "(exact MiniLM class embeddings) for text mode; "
                              "default is the hash-seeded fallback table")
+    parser.add_argument("--denoise_sampler", type=str, default="ddim",
+                        choices=["ddim", "dpmpp"],
+                        help="ddim = reference-parity tail; dpmpp = "
+                             "DPM-Solver++(2M) over the same noise interval "
+                             "in ~half the UNet evals (2nd-order; analytic "
+                             "accuracy evidence in tests/test_dpmpp.py)")
+    parser.add_argument("--denoise_solver_steps", type=int, default=None,
+                        help="dpmpp UNet evaluations (default: half the "
+                             "DDIM tail, min 2)")
     parser.add_argument("--timing", action="store_true",
                         help="print a per-stage wall-clock JSON line at exit "
                              "(predict incl. compile on first batch / "
@@ -316,7 +325,9 @@ def main(argv=None):
             dtype=jnp.bfloat16 if args.denoise_precision == "bf16"
             else jnp.float32)
         refine_fn = make_denoise_refiner(cfg, args.denoise_start_step,
-                                         pipeline=pipe)
+                                         pipeline=pipe,
+                                         sampler=args.denoise_sampler,
+                                         solver_steps=args.denoise_solver_steps)
 
     mesh = model_par = None
     if args.mesh:

@@ -84,3 +84,64 @@ def test_refiner_bf16_serving_dtype():
     scale = np.max(np.abs(o32))
     assert np.max(np.abs(o16 - o32)) / scale < 0.1, \
         f"bf16 refiner drifted {np.max(np.abs(o16 - o32)) / scale:.3f}"
+
+
+def test_dpmpp_refiner_same_interval_fewer_evals():
+    """--denoise_sampler dpmpp: the refiner runs DPM-Solver++(2M) over the
+    SAME noise interval as the DDIM tail (identical add-noise level) in
+    solver_steps UNet evals; output must be finite, shaped, and in the same
+    neighborhood as the DDIM result (both approximate one ODE endpoint —
+    accuracy evidence is analytic in tests/test_dpmpp.py)."""
+    cfg = Config(config_name="t", frame_size=32)
+    with pytest.warns(UserWarning):
+        pipe = SDPipeline(
+            frame_size=32,
+            vae_cfg=VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                              norm_num_groups=2),
+            unet_cfg=UNetConfig(block_out_channels=(8, 16), layers_per_block=1,
+                                attention_heads=2, cross_attention_dim=16,
+                                norm_num_groups=2),
+            clip_cfg=CLIPTextConfig(hidden_size=16, num_layers=1, num_heads=2,
+                                    intermediate_size=32, max_length=8))
+    ddim_fn, ddim_p = make_denoise_refiner(cfg, start_step=2, pipeline=pipe,
+                                           num_inference_steps=8, hi_res=None)
+    dpm_fn, dpm_p = make_denoise_refiner(cfg, start_step=2, pipeline=pipe,
+                                         num_inference_steps=8, hi_res=None,
+                                         sampler="dpmpp", solver_steps=3)
+    L = 4 * pipe.vae.latent_hw ** 2
+    flat = jnp.asarray(np.random.default_rng(1).standard_normal((2, L)),
+                       jnp.float32)
+    out_ddim = np.asarray(jax.jit(ddim_fn)(ddim_p, flat))
+    out_dpm = np.asarray(jax.jit(dpm_fn)(dpm_p, flat))
+    assert out_dpm.shape == (2, L)
+    assert np.isfinite(out_dpm).all()
+    assert np.abs(out_dpm - np.asarray(flat)).max() > 1e-3  # steps applied
+    # same ODE, different discretization: correlated but not identical.
+    # The bound is loose (0.5) because this UNet is RANDOM-INIT — its drift
+    # field is rough, so coarse discretizations legitimately diverge
+    # (measured corr ~0.73 here); the sampler's ACCURACY claim is proven
+    # against an exact analytic eps-model in tests/test_dpmpp.py instead.
+    assert not np.allclose(out_dpm, out_ddim)
+    corr = np.corrcoef(out_dpm.ravel(), out_ddim.ravel())[0, 1]
+    assert corr > 0.5, corr
+
+
+def test_dpmpp_rejects_unknown_sampler():
+    cfg = Config(config_name="t", frame_size=32)
+    with pytest.warns(UserWarning):
+        pipe = SDPipeline(
+            frame_size=32,
+            vae_cfg=VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                              norm_num_groups=2),
+            unet_cfg=UNetConfig(block_out_channels=(8, 16), layers_per_block=1,
+                                attention_heads=2, cross_attention_dim=16,
+                                norm_num_groups=2),
+            clip_cfg=CLIPTextConfig(hidden_size=16, num_layers=1, num_heads=2,
+                                    intermediate_size=32, max_length=8))
+    fn, p = make_denoise_refiner(cfg, start_step=2, pipeline=pipe,
+                                 num_inference_steps=8, hi_res=None,
+                                 sampler="euler")
+    L = 4 * pipe.vae.latent_hw ** 2
+    flat = jnp.zeros((1, L), jnp.float32)
+    with pytest.raises(ValueError, match="unknown sampler"):
+        fn(p, flat)

@@ -144,7 +144,8 @@ def prepare(workdir: str, need_clips: int) -> dict:
 
 
 def run_cli(paths: dict, max_clips: int, streams: int, pred: int,
-            save_output: bool, timeout_s: float) -> dict:
+            save_output: bool, timeout_s: float, sampler: str = "ddim",
+            solver_steps: int | None = None) -> dict:
     cmd = [sys.executable, "-m", "prediction.predict",
            "--dataset", "ball", "--folder", paths["ball"],
            "--config", CONFIG_NAME, "--config_dir", paths["cfg_dir"],
@@ -152,7 +153,10 @@ def run_cli(paths: dict, max_clips: int, streams: int, pred: int,
            "--codec", "vae", "--denoise", "True",
            "--denoise_start_step", "40", "--pred_frames", str(pred),
            "--batch_clips", str(streams), "--max_clips", str(max_clips),
-           "--save_output", str(save_output), "--timing", "--seed", "0"]
+           "--save_output", str(save_output), "--timing", "--seed", "0",
+           "--denoise_sampler", sampler]
+    if solver_steps is not None:
+        cmd += ["--denoise_solver_steps", str(solver_steps)]
     t0 = time.perf_counter()
     proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
                           timeout=timeout_s)
@@ -181,6 +185,10 @@ def main():
                     help="serving batches; batch 1 absorbs trace+compile")
     ap.add_argument("--save_output", action="store_true",
                     help="also write the red-border PNGs (IO overlap check)")
+    ap.add_argument("--sampler", default="ddim", choices=["ddim", "dpmpp"],
+                    help="forwarded to predict --denoise_sampler")
+    ap.add_argument("--solver_steps", type=int, default=None,
+                    help="forwarded to predict --denoise_solver_steps")
     ap.add_argument("--cli_timeout_s", type=float, default=1800)
     args = ap.parse_args()
     if args.n_batches < 3:
@@ -199,7 +207,8 @@ def main():
     paths = prepare(args.workdir, max_clips)
 
     t = run_cli(paths, max_clips, args.streams, args.pred_frames,
-                args.save_output, args.cli_timeout_s)
+                args.save_output, args.cli_timeout_s,
+                sampler=args.sampler, solver_steps=args.solver_steps)
     if t["clips"] != max_clips or not t.get("first_sync_s"):
         raise RuntimeError(f"unexpected timing payload: {t}")
     steady_clips = t["clips"] - args.streams
@@ -212,6 +221,7 @@ def main():
         "absolute_fps_incl_startup": round(absolute, 2),
         "streams": args.streams, "pred_frames": args.pred_frames,
         "batches": args.n_batches, "save_output": args.save_output,
+        "sampler": args.sampler, "solver_steps": args.solver_steps,
         "timing": t,
         "note": "steady = batches 2..N of one CLI process (trace/compile/"
                 "first device round excluded), comparable to bench.py "
