@@ -107,3 +107,74 @@ def test_start_noising_matches_ddim_handoff():
 def test_rejects_single_step():
     with pytest.raises(ValueError):
         DPMSolverPPSchedule(1, T_START)
+
+
+# ---- nonlinear case: Gaussian MIXTURE data (exact eps, curved drift) ----
+# x0 ~ 0.6 N(-0.8, 0.3^2) + 0.4 N(0.9, 0.15^2): the posterior-weighted
+# score makes x0(x_t, lambda) genuinely nonlinear, unlike the single-
+# Gaussian case whose probability-flow ODE is linear in x.
+
+_W = np.array([0.6, 0.4])
+_MUK = np.array([-0.8, 0.9])
+_SK = np.array([0.3, 0.15])
+
+
+def _eps_star_mix(x, a, s_t):
+    v = a * a * _SK ** 2 + s_t * s_t
+    logp = (-0.5 * (x[..., None] - a * _MUK) ** 2 / v
+            - 0.5 * np.log(v) + np.log(_W))
+    r = np.exp(logp - logp.max(-1, keepdims=True))
+    r /= r.sum(-1, keepdims=True)
+    score = (r * (-(x[..., None] - a * _MUK) / v)).sum(-1)
+    return -s_t * score
+
+
+def _ddim_solve_mix(x, k):
+    a, s_t = _levels(k)
+    for i in range(k):
+        eps = _eps_star_mix(x, a[i], s_t[i])
+        x0 = (x - s_t[i] * eps) / a[i]
+        x = a[i + 1] * x0 + s_t[i + 1] * eps
+    return x
+
+
+def _dpmpp_solve_mix(x, k):
+    sched = DPMSolverPPSchedule(k, T_START)
+    a = np.asarray(sched.alpha)
+    s_t = np.asarray(sched.sigma)
+    x0_prev = np.zeros_like(x)
+    for i in range(k):
+        eps = _eps_star_mix(x, a[i], s_t[i])
+        x, x0_prev = sched.step(eps, i, x, x0_prev)
+        x = np.asarray(x)
+    return x
+
+
+@pytest.fixture(scope="module")
+def mix_truth_and_start():
+    rng = np.random.default_rng(0)
+    a0, s0 = _levels(1)
+    comp = rng.random(256) < _W[1]
+    x0s = np.where(comp, _MUK[1] + _SK[1] * rng.standard_normal(256),
+                   _MUK[0] + _SK[0] * rng.standard_normal(256))
+    x_start = a0[0] * x0s + s0[0] * rng.standard_normal(256)
+    return _ddim_solve_mix(x_start, 8192), x_start
+
+
+def test_mixture_5_dpmpp_steps_beat_10_ddim_steps(mix_truth_and_start):
+    truth, x_start = mix_truth_and_start
+    err_dpmpp5 = np.abs(_dpmpp_solve_mix(x_start, 5) - truth).max()
+    err_ddim10 = np.abs(_ddim_solve_mix(x_start, 10) - truth).max()
+    err_ddim5 = np.abs(_ddim_solve_mix(x_start, 5) - truth).max()
+    assert err_dpmpp5 < err_ddim10, (err_dpmpp5, err_ddim10)
+    # equal-eval comparison: 2nd order vs 1st order at k=5
+    assert err_dpmpp5 < err_ddim5 / 2, (err_dpmpp5, err_ddim5)
+
+
+def test_mixture_second_order_convergence(mix_truth_and_start):
+    truth, x_start = mix_truth_and_start
+    e6 = np.abs(_dpmpp_solve_mix(x_start, 6) - truth).max()
+    e12 = np.abs(_dpmpp_solve_mix(x_start, 12) - truth).max()
+    e24 = np.abs(_dpmpp_solve_mix(x_start, 24) - truth).max()
+    assert e6 / e12 > 2.5, (e6, e12)
+    assert e12 / e24 > 2.5, (e12, e24)
