@@ -163,8 +163,18 @@ class SDPipeline:
 
     def denoise_img_latents(self, text_embeddings, height=512, width=512,
                             num_inference_steps=50, guidance_scale=7.5,
-                            latents=None, rng=None):
-        """Full LMS loop from noise (sd_utils:97-126). NHWC latents."""
+                            latents=None, rng=None, sampler="lms"):
+        """Full denoise loop from noise (sd_utils:97-126). NHWC latents.
+
+        ``sampler='lms'`` (default) is the reference-parity path.
+        ``sampler='dpmpp'`` runs DPM-Solver++(2M) over the full training
+        range in ``num_inference_steps`` UNet evals — the fast-generation
+        extension (a 2nd-order solver typically matches 50-step LMS around
+        15-20 steps; accuracy characterization in tests/test_dpmpp.py).
+        Convention note: explicit ``latents`` are the VP sample x_T ~
+        N(0, I) for dpmpp, while the LMS path scales them by sigma[0]
+        internally (the sigma-space convention of sd_utils:106).
+        """
         B = text_embeddings.shape[0] // 2
         if latents is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -172,6 +182,41 @@ class SDPipeline:
                 rng, (B, height // 8, width // 8, self.unet_cfg.in_channels))
         static_gs0 = (isinstance(guidance_scale, (int, float))
                       and guidance_scale == 0.0)
+        if sampler == "dpmpp":
+            from sd_video_gen_tpu.diffusion.schedulers import (
+                DPMSolverPPSchedule)
+            key = ("dpmpp_full", num_inference_steps, latents.shape,
+                   static_gs0)
+            if key not in self._jit_cache:
+                # full range: t_start = the last training timestep (999),
+                # matching LMS's linspace start; x_T is the pure-noise VP
+                # sample so no input scaling applies
+                dpm = DPMSolverPPSchedule(num_inference_steps, 999.0)
+                timesteps = jnp.asarray(dpm.timesteps, jnp.float32)
+
+                @jax.jit
+                def run_dpm(unet_params, latents, text_embeddings,
+                            guidance_scale):
+                    def body(carry, i):
+                        x, x0_prev = carry
+                        eps = self._unet_eps(
+                            unet_params, x, timesteps[i], text_embeddings,
+                            0.0 if static_gs0 else guidance_scale)
+                        x, x0 = dpm.step(eps, i, x, x0_prev)
+                        return (x, x0), None
+
+                    (x, _), _ = jax.lax.scan(
+                        body, (latents, jnp.zeros_like(latents)),
+                        jnp.arange(num_inference_steps))
+                    return x
+
+                self._jit_cache[key] = run_dpm
+            return self._jit_cache[key](self.unet_params, latents,
+                                        text_embeddings,
+                                        jnp.float32(guidance_scale))
+        if sampler != "lms":
+            raise ValueError(f"unknown sampler '{sampler}' "
+                             "(expected 'lms' or 'dpmpp')")
         key = ("lms", num_inference_steps, latents.shape, static_gs0)
         if key not in self._jit_cache:
             # LMSSchedule construction runs ~S*4 scipy quadratures — build
@@ -317,13 +362,13 @@ class SDPipeline:
     # -- top-level generation (sd_utils:171-189, 269-294) -------------------
     def prompt_to_img(self, prompts, height=512, width=512,
                       num_inference_steps=50, guidance_scale=7.5,
-                      latents=None, rng=None):
+                      latents=None, rng=None, sampler="lms"):
         if isinstance(prompts, str):
             prompts = [prompts]
         emb = self.encode_text(prompts)
         lat = self.denoise_img_latents(emb, height, width,
                                        num_inference_steps, guidance_scale,
-                                       latents, rng)
+                                       latents, rng, sampler=sampler)
         return self._decode_pixels(lat)
 
     def img_to_img(self, prompts, img, height=512, width=512,

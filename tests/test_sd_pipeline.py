@@ -232,3 +232,27 @@ def test_i2i_scan_nondivisor_steps(pipe, rng):
                         num_inference_steps=7,
                         noise_rng=jax.random.PRNGKey(0))
     assert out.shape == lat.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_full_dpmpp_denoise_runs(pipe):
+    """sampler='dpmpp' on the full generation path: DPM-Solver++(2M) over
+    the whole training range from a pure-noise VP sample (the fast-
+    generation extension; accuracy evidence in tests/test_dpmpp.py)."""
+    emb = pipe.uncond_embeddings(1)
+    out = pipe.denoise_img_latents(emb, height=16, width=16,
+                                   num_inference_steps=4,
+                                   guidance_scale=7.5,
+                                   rng=jax.random.PRNGKey(0),
+                                   sampler="dpmpp")
+    assert out.shape == (1, 2, 2, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # deterministic given the rng
+    out2 = pipe.denoise_img_latents(emb, height=16, width=16,
+                                    num_inference_steps=4,
+                                    guidance_scale=7.5,
+                                    rng=jax.random.PRNGKey(0),
+                                    sampler="dpmpp")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    with pytest.raises(ValueError, match="unknown sampler"):
+        pipe.denoise_img_latents(emb, height=16, width=16,
+                                 num_inference_steps=4, sampler="euler")
