@@ -134,6 +134,13 @@ def main(argv=None):
                         help="npy table from tools/export_text_embeddings.py "
                              "(exact MiniLM class embeddings); default is "
                              "the hash-seeded fallback table")
+    parser.add_argument("--denoise_sampler", type=str, default="ddim",
+                        choices=["ddim", "dpmpp"],
+                        help="ddim = reference-parity tail; dpmpp = "
+                             "DPM-Solver++(2M) over the same interval in "
+                             "~half the UNet evals (see predict CLI) — lets "
+                             "FVD score the fast-sampler serving config")
+    parser.add_argument("--denoise_solver_steps", type=int, default=None)
     # the reference eval harness hardcodes start_step=48 (2 refine steps of
     # 50) — the predict CLI's default 40 would silently over-denoise eval
     parser.set_defaults(denoise_start_step=48)
@@ -188,7 +195,9 @@ def main(argv=None):
                           if args.denoise_precision == "bf16"
                           else jnp.float32)
         refiner = make_denoise_refiner(cfg, args.denoise_start_step,
-                                       pipeline=pipe, hi_res=None)
+                                       pipeline=pipe, hi_res=None,
+                                       sampler=args.denoise_sampler,
+                                       solver_steps=args.denoise_solver_steps)
 
     i3d, i3d_params = load_i3d(args.i3d_weights)
     predict = make_predict_fn(model, codec, args.pred_frames,
