@@ -109,6 +109,14 @@ class DPMSolverPPSchedule:
                  beta_end=0.012):
         if num_steps < 2:
             raise ValueError("DPM-Solver++(2M) needs num_steps >= 2")
+        if not t_start > 0:
+            # a zero-width lambda interval makes every h zero -> the 2M
+            # ratio h_{i-1}/h_i is NaN for k >= 3 and the solve is a no-op
+            # anyway (nothing left to denoise)
+            raise ValueError(
+                f"DPM-Solver++ needs t_start > 0 (got {t_start}): a "
+                "start_step at the end of the DDIM grid leaves no noise "
+                "interval to solve — drop --denoise instead")
         acp = _alphas_cumprod(num_train_timesteps, beta_start, beta_end)
         t_all = np.arange(num_train_timesteps, dtype=np.float64)
         lam_all = 0.5 * np.log(acp) - 0.5 * np.log1p(-acp)  # increasing as t->0

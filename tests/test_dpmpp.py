@@ -190,3 +190,11 @@ def test_mixture_second_order_convergence(mix_truth_and_start):
     # measured 2.57 — the boundary-sample tail flattens the last ratio, so
     # the floor is looser than the Gaussian case's
     assert e12 / e24 > 2.2, (e12, e24)
+
+
+def test_rejects_zero_start_level():
+    """--denoise_start_step at the end of the DDIM grid gives t_start=0:
+    a zero-width lambda interval makes every h zero and the 2M ratio
+    h_{i-1}/h_i NaN for k >= 3 — must refuse loudly, not emit NaNs."""
+    with pytest.raises(ValueError, match="t_start > 0"):
+        DPMSolverPPSchedule(3, 0.0)
