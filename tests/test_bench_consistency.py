@@ -1,0 +1,23 @@
+"""bench.py static consistency — protects the driver artifact.
+
+The per-scenario try/except in bench.main wraps only the measurement
+call; the ``value / BASELINES[name]`` division happens after it, so a
+SCENARIOS entry without a BASELINES key would raise an uncaught KeyError
+and turn the ENTIRE driver bench run red. Pin the invariant here (the
+dpmpp scenario was added in r4 — this is the class of edit that can
+reintroduce the mismatch).
+"""
+
+import importlib
+import sys
+
+
+def test_every_scenario_has_a_baseline(monkeypatch):
+    monkeypatch.setenv("SDVG_BENCH_SCENARIOS", "")
+    sys.modules.pop("bench", None)
+    bench = importlib.import_module("bench")
+    names = {name for name, _ in bench.SCENARIOS}
+    missing = names - set(bench.BASELINES)
+    assert not missing, f"SCENARIOS without BASELINES entries: {missing}"
+    # the final-emit primary lookup must reference real scenario names
+    assert {"vae_denoise_ar4_8streams", "vae_denoise_ar4"} <= names
