@@ -102,6 +102,16 @@ class DPMSolverPPSchedule:
     (``lower_order_final`` — diffusers' stability default for small step
     counts; costs ~30% accuracy on the analytic case but avoids 2nd-order
     extrapolation into the t=0 boundary on real models).
+
+    Endpoint note (deliberate difference from the DDIM tail): DDIMSchedule
+    uses set_alpha_to_one semantics (its final step emits the exact
+    predicted x0) and clips x0 to [-1, 1] every step; this grid ends at
+    lambda(t=0) of the TRAINED schedule, whose acp[0] leaves a residual
+    sigma of ~0.029, and applies no clipping. Both choices match
+    diffusers' DPMSolverMultistepScheduler defaults, so outputs agree
+    with the public dpmpp lineage rather than with the DDIM tail
+    bit-for-bit; the start-level handoff (add_noise_at_start) IS pinned
+    equal to DDIM's add_noise_at by test (tests/test_dpmpp.py).
     """
 
     def __init__(self, num_steps: int, t_start: float,

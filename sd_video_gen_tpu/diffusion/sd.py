@@ -267,7 +267,9 @@ class SDPipeline:
             from sd_video_gen_tpu.diffusion.schedulers import (
                 DPMSolverPPSchedule)
             tail = sched.n_steps - start_step
-            k = solver_steps or max(2, tail // 2)
+            # explicit 0/1 must reach the schedule's num_steps >= 2 check,
+            # not silently fall back to the default
+            k = solver_steps if solver_steps is not None else max(2, tail // 2)
             dpm = DPMSolverPPSchedule(k, float(sched.timesteps[start_step]))
             timesteps = jnp.asarray(dpm.timesteps, jnp.float32)
             x = latents

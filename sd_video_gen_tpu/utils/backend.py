@@ -101,8 +101,9 @@ def init_backend_or_die(tool: str = "tool",
     run needs. For a tool whose only job is to run on the default backend,
     the right shape is ONE client session: init here, and if init doesn't
     complete by the deadline, a monitor thread prints the actionable
-    one-liner and os._exit(1)s (a hung jax.devices() never returns to
-    Python, so sys.exit/exceptions can't fire).
+    one-liner and os._exit(INIT_HUNG_RC)s — the distinctive rc lets a
+    supervisor retry a stuck session (a hung jax.devices() never returns
+    to Python, so sys.exit/exceptions can't fire).
 
     probe_backend stays for callers that need a fallback path after
     failure (they must not poison their own process with a hung backend).

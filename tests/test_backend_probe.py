@@ -87,9 +87,10 @@ print(init_backend_or_die("t", deadline_s=120))
     assert proc.stdout.split()[-1] == "cpu"
 
 
-def test_init_backend_hung_init_exits_one():
+def test_init_backend_hung_init_exits_init_hung_rc():
     """A jax.devices() that never returns must not hang the tool: the
-    monitor thread prints the actionable one-liner and exits rc=1."""
+    monitor thread prints the actionable one-liner and exits
+    INIT_HUNG_RC (17) so a supervisor can retry the stuck session."""
     code = """
 import os, sys, time
 os.environ.pop("JAX_PLATFORMS", None)
