@@ -147,6 +147,68 @@ def main():
                 "eps_std": round(float(e.std()), 4)}
     _stage("unet_64x64_latent_eps", unet_fwd)
 
+    # ---- HLO-identity guard (VERDICT r4 #6): the benched program must be
+    # structurally identical to the real-weight program. bench.py times the
+    # north-star denoise refiner under RANDOM-init weights; this stage
+    # lowers that exact jitted body twice — once with bench-style random
+    # init, once with params converted through the checkpoint path a real
+    # SD-v1.4 download would take — and asserts (a) identical param-tree
+    # shapes/dtypes and (b) identical lowered-HLO sha256. Since weights
+    # enter the jit as arguments, equal HLO == bit-identical XLA program:
+    # the bench's timings are certified to be timings OF the real-weight
+    # program, closing the 'random-weight bench' caveat structurally.
+    def hlo_guard():
+        import hashlib
+        from sd_video_gen_tpu.config import Config
+        from sd_video_gen_tpu.diffusion.refine import make_denoise_refiner
+        from sd_video_gen_tpu.diffusion.sd import SDPipeline
+        from sd_video_gen_tpu.diffusion.vae_codec import VAECodec
+
+        cfg = Config(config_name="bench", frame_size=64)
+        cast = lambda tree: jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, tree)   # bench.py _bf16
+        digests, shape_trees = {}, {}
+        for arm, pipe in (
+                ("bench_random",
+                 SDPipeline(frame_size=512, dtype=jnp.bfloat16)),
+                ("converted_ckpt",
+                 SDPipeline(frame_size=512, dtype=jnp.bfloat16,
+                            vae_params=params["vae"],
+                            unet_params=params["unet"],
+                            clip_params=params["clip"]))):
+            refine_apply, rp = make_denoise_refiner(
+                cfg, start_step=40, pipeline=pipe, hi_res=512)
+            rp = cast(rp)
+            codec = VAECodec(cfg.frame_size, params=pipe.vae.params,
+                             cfg=pipe.vae.cfg)
+            z = jnp.zeros((8, codec.latent_dim), jnp.float32)
+            lowered = jax.jit(refine_apply).lower(rp, z, jnp.int32(0))
+            digests[arm] = hashlib.sha256(
+                lowered.as_text().encode()).hexdigest()
+            shape_trees[arm] = jax.tree.map(
+                lambda p: (tuple(p.shape), str(p.dtype)), rp)
+        trees_equal = shape_trees["bench_random"] == shape_trees[
+            "converted_ckpt"]
+        hlo_equal = digests["bench_random"] == digests["converted_ckpt"]
+        if not trees_equal:
+            # surface the first divergent leaf for actionability
+            flat_a = jax.tree_util.tree_flatten_with_path(
+                shape_trees["bench_random"])[0]
+            flat_b = jax.tree_util.tree_flatten_with_path(
+                shape_trees["converted_ckpt"])[0]
+            for (pa, la), (pb, lb) in zip(flat_a, flat_b):
+                if pa != pb or la != lb:
+                    raise AssertionError(
+                        f"param tree diverges: bench {pa}={la} vs "
+                        f"converted {pb}={lb}")
+        assert hlo_equal, (
+            f"lowered HLO differs between bench random-init and converted "
+            f"checkpoint params: {digests}")
+        return {"hlo_sha256": digests["bench_random"][:16],
+                "trees_equal": trees_equal, "hlo_equal": hlo_equal}
+    _stage("hlo_identity_guard_denoise", hlo_guard)
+
     print(json.dumps({"stage": "rehearsal_complete", "ok": True}))
 
 
