@@ -111,7 +111,9 @@ def make_sharded_features(i3d, mesh):
 
 
 def main(argv=None):
+    from sd_video_gen_tpu.utils.backend import honor_platform_pin
     from sd_video_gen_tpu.utils.cache import enable_compilation_cache
+    honor_platform_pin()
     enable_compilation_cache()
     parser = build_arg_parser()
     parser.add_argument("--train_mode", type=str, default="ar",

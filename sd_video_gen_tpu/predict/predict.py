@@ -226,7 +226,9 @@ def make_predict_fn(model, codec, pred_frames: int, window: int,
 
 
 def main(argv=None):
+    from sd_video_gen_tpu.utils.backend import honor_platform_pin
     from sd_video_gen_tpu.utils.cache import enable_compilation_cache
+    honor_platform_pin()
     enable_compilation_cache()
     parser = build_arg_parser()
     parser.add_argument("--train_mode", type=str, default="ar",
@@ -270,6 +272,13 @@ def main(argv=None):
                         help="print a per-stage wall-clock JSON line at exit "
                              "(predict incl. compile on first batch / "
                              "decode / host io)")
+    parser.add_argument("--serve", type=str, default=None, metavar="SOCK",
+                        help="persistent serving mode: instead of iterating "
+                             "a dataset, warm-compile the serving program "
+                             "once, print SERVE_READY, and answer clip "
+                             "batches over this Unix socket until shutdown "
+                             "(predict/serve.py — amortizes the measured "
+                             "200-270s per-process cold start)")
     args = parser.parse_args(argv)
     if args.reference_pe and (args.int8 or args.rollout == "cached"):
         parser.error("--reference_pe is the full-forward compat path "
@@ -379,6 +388,28 @@ def main(argv=None):
                     return base_predict(p, frames, text_embeds)
             return base_predict(p, frames, text_embeds)
 
+    codec_params_main = getattr(codec, "params", None)
+
+    @jax.jit
+    def decode_impl(cparams, flat):
+        # one compiled program per shape — an eager VAE decode dispatches
+        # hundreds of ops per batch (predict_fvd uses the same pattern)
+        if cparams is not None:
+            return codec.decode_latents(flat, params=cparams)
+        return codec.decode_latents(flat)
+
+    if args.serve:
+        # persistent serving: no dataset — clip batches arrive over the
+        # socket; the compile/trace/first-round tax is paid once, in the
+        # warmup batch, before SERVE_READY (predict/serve.py)
+        from sd_video_gen_tpu.predict.serve import serve
+        serve(args.serve, predict, lambda flat: decode_impl(
+                  codec_params_main, flat), params,
+              batch_clips=args.batch_clips,
+              frames_per_clip=cfg.frames_per_clip,
+              frame_size=cfg.frame_size, embedder=embedder)
+        return
+
     # single-shot modes: build_dataset's future/learned_tgt extension adds
     # the GT future frames to every clip for TRAINING; the predict CLI must
     # feed only the context — a maskless single-shot forward over the
@@ -395,16 +426,6 @@ def main(argv=None):
     #                      +first device round live in this window)
     stage_s = {"data": 0.0, "dispatch": 0.0, "decode": 0.0, "io": 0.0}
     t_start = time.perf_counter()
-
-    codec_params_main = getattr(codec, "params", None)
-
-    @jax.jit
-    def decode_impl(cparams, flat):
-        # one compiled program per shape — an eager VAE decode dispatches
-        # hundreds of ops per batch (predict_fvd uses the same pattern)
-        if cparams is not None:
-            return codec.decode_latents(flat, params=cparams)
-        return codec.decode_latents(flat)
 
     def process(pending):
         """Fetch, decode, and write one completed batch (host side)."""

@@ -606,7 +606,9 @@ def build_dataset(cfg: Config, args, stage: str, exact_frames: int | None = None
 
 
 def main(argv=None):
+    from sd_video_gen_tpu.utils.backend import honor_platform_pin
     from sd_video_gen_tpu.utils.cache import enable_compilation_cache
+    honor_platform_pin()
     enable_compilation_cache()
     parser = build_arg_parser()
     # learned_tgt: the reference shipped the model variant

@@ -54,6 +54,15 @@ def _pinned_host_platform() -> str | None:
     return None
 
 
+def honor_platform_pin() -> str | None:
+    """CLI entry points call this before touching jax so an explicit
+    ``JAX_PLATFORMS=cpu`` env pin actually works: the axon sitecustomize
+    sets jax_platforms at config level at interpreter boot, which silently
+    outranks the env var (see force_cpu) — without this, a 'CPU' child
+    process opens a tunnel session and can hang on a dead relay."""
+    return _pinned_host_platform()
+
+
 def probe_backend(tool: str = "tool", timeout_s: float | None = None) -> str:
     """Return the default platform name, or SystemExit fast if it's dead.
 

@@ -175,6 +175,75 @@ def run_cli(paths: dict, max_clips: int, streams: int, pred: int,
     return timing
 
 
+def run_serve_bench(paths: dict, streams: int, pred: int, n_requests: int,
+                    timeout_s: float, sampler: str = "ddim",
+                    solver_steps: int | None = None) -> dict:
+    """Persistent serving mode (predict --serve): time-to-first-frame.
+
+    Launches ONE server process, waits for SERVE_READY (the once-per-host
+    warmup: jit trace + compile + first device round), then measures
+    per-request latency over the socket — request 1's latency IS the
+    time-to-first-frame of a warm server, the number the one-shot CLI pays
+    200-270 s for (BASELINE.md cold-start attribution)."""
+    import numpy as np
+    from sd_video_gen_tpu.predict import serve as S
+
+    sock = os.path.join(paths["cfg_dir"], "..", "serve.sock")
+    cmd = [sys.executable, "-m", "prediction.predict",
+           "--dataset", "ball", "--folder", paths["ball"],
+           "--config", CONFIG_NAME, "--config_dir", paths["cfg_dir"],
+           "--checkpoint_dir", paths["ckpt_dir"], "--index", "0",
+           "--codec", "vae", "--denoise", "True",
+           "--denoise_start_step", "40", "--pred_frames", str(pred),
+           "--batch_clips", str(streams), "--seed", "0",
+           "--denoise_sampler", sampler, "--serve", sock]
+    if solver_steps is not None:
+        cmd += ["--denoise_solver_steps", str(solver_steps)]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}".rstrip(":")
+    t_launch = time.perf_counter()
+    proc = subprocess.Popen(cmd, cwd=REPO, env=env,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    try:
+        ready_line = None
+        deadline = t_launch + timeout_s
+        for line in proc.stdout:
+            if line.startswith("SERVE_READY"):
+                ready_line = json.loads(line.split(" ", 1)[1])
+                break
+            if time.perf_counter() > deadline:
+                raise TimeoutError("server never printed SERVE_READY")
+        if ready_line is None:
+            raise RuntimeError(f"server exited rc={proc.wait()} before READY")
+        ready_wall = time.perf_counter() - t_launch
+
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (streams, 5, 64, 64, 3)).astype(
+            np.uint8)
+        latencies = []
+        for _ in range(n_requests):
+            t0 = time.perf_counter()
+            imgs, is_pred, hdr = S.request(sock, frames,
+                                           timeout_s=timeout_s)
+            latencies.append(time.perf_counter() - t0)
+        assert sum(is_pred) == pred and imgs.shape[0] == streams
+        S.shutdown(sock)
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    steady = sorted(latencies[1:])[len(latencies[1:]) // 2]
+    return {
+        "server_ready_wall_s": round(ready_wall, 2),
+        "server_warmup_s": ready_line["ready_s"],
+        "ttff_warm_server_s": round(latencies[0], 3),
+        "steady_request_s_median": round(steady, 3),
+        "steady_fps": round(streams * pred / steady, 2),
+        "request_latencies_s": [round(x, 3) for x in latencies],
+        "n_requests": n_requests}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/sdvg_cli_serving")
@@ -190,6 +259,11 @@ def main():
     ap.add_argument("--solver_steps", type=int, default=None,
                     help="forwarded to predict --denoise_solver_steps")
     ap.add_argument("--cli_timeout_s", type=float, default=1800)
+    ap.add_argument("--mode", default="batch", choices=["batch", "serve"],
+                    help="batch: one-shot CLI steady-rate (default); serve: "
+                         "persistent server TTFF + per-request latency")
+    ap.add_argument("--n_requests", type=int, default=6,
+                    help="serve mode: requests after SERVE_READY")
     args = ap.parse_args()
     if args.n_batches < 3:
         ap.error("--n_batches must be >=3 for a meaningful steady window")
@@ -205,6 +279,21 @@ def main():
     max_clips = args.n_batches * args.streams  # exact multiple: one program
     os.makedirs(args.workdir, exist_ok=True)
     paths = prepare(args.workdir, max_clips)
+
+    if args.mode == "serve":
+        r = run_serve_bench(paths, args.streams, args.pred_frames,
+                            args.n_requests, args.cli_timeout_s,
+                            sampler=args.sampler,
+                            solver_steps=args.solver_steps)
+        r.update({
+            "metric": "cli_serving_persistent_ttff",
+            "streams": args.streams, "pred_frames": args.pred_frames,
+            "sampler": args.sampler, "solver_steps": args.solver_steps,
+            "note": "ttff_warm_server_s is what replaces the one-shot "
+                    "CLI's 200-270s per-process cold start; the warmup is "
+                    "paid once at server start (server_warmup_s)"})
+        print(json.dumps(r))
+        return
 
     t = run_cli(paths, max_clips, args.streams, args.pred_frames,
                 args.save_output, args.cli_timeout_s,
