@@ -103,20 +103,24 @@ class DPMSolverPPSchedule:
     counts; costs ~30% accuracy on the analytic case but avoids 2nd-order
     extrapolation into the t=0 boundary on real models).
 
-    Endpoint note (deliberate difference from the DDIM tail): DDIMSchedule
-    uses set_alpha_to_one semantics (its final step emits the exact
-    predicted x0) and clips x0 to [-1, 1] every step; this grid ends at
-    lambda(t=0) of the TRAINED schedule, whose acp[0] leaves a residual
-    sigma of ~0.029, and applies no clipping. Both choices match
-    diffusers' DPMSolverMultistepScheduler defaults, so outputs agree
-    with the public dpmpp lineage rather than with the DDIM tail
-    bit-for-bit; the start-level handoff (add_noise_at_start) IS pinned
-    equal to DDIM's add_noise_at by test (tests/test_dpmpp.py).
+    Endpoint (``final_sigma_zero=True``, the default): the final
+    transition emits the exact x0 prediction — the grid's last level is
+    forced to (alpha=1, sigma=0), matching BOTH DDIMSchedule's
+    set_alpha_to_one endpoint and diffusers' modern
+    ``final_sigmas_type="zero"`` DPMSolverMultistep default. Without it
+    (``final_sigma_zero=False``, the pre-r5 behavior and diffusers'
+    legacy "sigma_min" mode) the output retains the trained schedule's
+    residual sigma(0) ~= 0.029 — a systematic offset vs the DDIM tail
+    that dominated the measured random-UNet drift (plateau at
+    ~sigma_end/||x||) before r5. x0 is still not clipped per step
+    (DDIM clips to [-1, 1]; matches diffusers dpmpp). The start-level
+    handoff (add_noise_at_start) is pinned equal to DDIM's add_noise_at
+    by test (tests/test_dpmpp.py).
     """
 
     def __init__(self, num_steps: int, t_start: float,
                  num_train_timesteps=1000, beta_start=0.00085,
-                 beta_end=0.012):
+                 beta_end=0.012, final_sigma_zero: bool = True):
         if num_steps < 2:
             raise ValueError("DPM-Solver++(2M) needs num_steps >= 2")
         if not t_start > 0:
@@ -150,6 +154,12 @@ class DPMSolverPPSchedule:
         w_prev = -1.0 / (2.0 * r)
         w_cur[0], w_prev[0] = 1.0, 0.0            # no history yet
         w_cur[-1], w_prev[-1] = 1.0, 0.0          # lower_order_final
+        if final_sigma_zero:
+            # last level -> (alpha=1, sigma=0): x_next = 0*x + 1*x0, the
+            # exact-x0 endpoint (see class docstring). The eps-model eval
+            # levels ts[:-1] are untouched — same UNet cost either way.
+            alpha[-1], sigma[-1] = 1.0, 0.0
+            c_x[-1], c_d[-1] = 0.0, 1.0
         self.num_steps = num_steps
         self.timesteps = ts[:-1]                  # t_i fed to the eps model
         self.alpha = jnp.asarray(alpha, jnp.float32)

@@ -202,9 +202,15 @@ def main(argv=None):
                                        solver_steps=args.denoise_solver_steps)
 
     i3d, i3d_params = load_i3d(args.i3d_weights)
+    # --naive is the reference's pure copy-last-frame control
+    # (prediction/predict_naive_fvd.py): the diff mode's residual add must
+    # NOT wrap it — Identity + last latent doubles the latent and scores a
+    # different (accidentally stronger under random-I3D FVD) baseline
+    naive_mode = "ar" if (args.naive and args.train_mode == "diff") \
+        else args.train_mode
     predict = make_predict_fn(model, codec, args.pred_frames,
                               window=cfg.frames_per_clip,
-                              mode=args.train_mode, refiner=refiner,
+                              mode=naive_mode, refiner=refiner,
                               future_horizon=cfg.frames_to_predict)
 
     if args.mesh:

@@ -357,9 +357,13 @@ def main(argv=None):
             refine_fn = (ra, jax.device_put(
                 rp, diffusion_param_shardings(mesh, rp)))
 
+    # --naive = the pure copy-last-frame control (predict_naive_and_mnist):
+    # never wrap Identity with the diff residual add (see predict_fvd.py)
+    naive_mode = "ar" if (args.naive and args.train_mode == "diff") \
+        else args.train_mode
     predict = make_predict_fn(model, codec, args.pred_frames,
                               window=cfg.frames_per_clip,
-                              mode=args.train_mode, refiner=refine_fn,
+                              mode=naive_mode, refiner=refine_fn,
                               rollout=args.rollout,
                               int8=args.int8 and not args.naive,
                               future_horizon=cfg.frames_to_predict)

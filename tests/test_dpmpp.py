@@ -31,6 +31,12 @@ def _levels(k, t_start=T_START):
     acp = _alphas_cumprod()
     ts = np.linspace(t_start, 0.0, k + 1)
     acp_t = np.interp(ts, np.arange(len(acp)), acp)
+    # exact-x0 endpoint convention: the PRODUCTION DDIM tail ends with
+    # set_alpha_to_one (final step emits predicted x0) and r5's dpmpp
+    # default is final_sigma_zero=True — the analytic truth and both
+    # solver arms must share that convention, or the residual
+    # sigma(0)~0.029 shows up as a phantom solver error
+    acp_t[-1] = 1.0
     return np.sqrt(acp_t), np.sqrt(1.0 - acp_t)
 
 

@@ -238,3 +238,38 @@ def test_timing_reports_steady_state_window(tmp_path, monkeypatch, capsys):
     assert t["clips"] == 4 and t["batches"] == 2
     assert t["first_sync_s"] is not None
     assert 0 < t["first_sync_s"] <= t["total_s"]
+
+
+def test_naive_diff_is_pure_copy(tmp_path, monkeypatch):
+    """--naive + --train_mode diff must score the reference's pure
+    copy-last-frame control (prediction/predict_naive_fvd.py), NOT
+    Identity wrapped in the diff residual add (which doubles the latent
+    and accidentally strengthens the baseline under random-I3D FVD —
+    caught live in the r5 quality_modes run: naive-diff FVD 2.8 vs the
+    true control's 10.2)."""
+    import os
+
+    import cv2
+
+    from sd_video_gen_tpu.data.synthetic import generate_bouncing_ball_tree
+    from sd_video_gen_tpu.predict.predict import main
+
+    root = generate_bouncing_ball_tree(str(tmp_path / "ball"), 2, 1, 10, 32)
+    (tmp_path / "configs").mkdir()
+    (tmp_path / "configs" / "ndcfg.yml").write_text(
+        "BATCH_SIZE:\n - 2\nFRAMES_PER_CLIP:\n - 5\nFRAMES_TO_PREDICT:\n"
+        " - 2\nFRAME_SIZE: 32\nDIM_MODEL:\n - 32\nNUM_HEADS:\n - 4\n"
+        "NUM_ENCODER_LAYERS:\n - 1\nNUM_DECODER_LAYERS:\n - 1\n")
+    monkeypatch.chdir(tmp_path)
+    for mode in ("ar", "diff"):
+        main(["--dataset", "ball", "--config", "ndcfg",
+              "--config_dir", str(tmp_path / "configs"), "--folder", root,
+              "--naive", "True", "--train_mode", mode, "--pred_frames", "2",
+              "--max_clips", "1", "--save_output", "True"])
+    out = sorted(os.listdir(tmp_path / "outputs"), key=int)
+    assert len(out) == 2
+    a, b = (tmp_path / "outputs" / d for d in out)
+    for f in sorted(os.listdir(a)):
+        ia = cv2.imread(str(a / f))
+        ib = cv2.imread(str(b / f))
+        assert ia is not None and (ia == ib).all(), f

@@ -256,3 +256,56 @@ def test_full_dpmpp_denoise_runs(pipe):
     with pytest.raises(ValueError, match="unknown sampler"):
         pipe.denoise_img_latents(emb, height=16, width=16,
                                  num_inference_steps=4, sampler="euler")
+
+
+def test_dpmpp_tail_accuracy_on_unet_graph(pipe, rng):
+    """Video-level gate groundwork (VERDICT r4 #3): on the ACTUAL UNet
+    compute graph (not the analytic problems), the dpmpp-5 tail must land
+    at least as close to the fine-step ODE limit as the DDIM-10 tail it
+    replaces, and the drift between the two shipped tails must stay
+    bounded. Truth = dpmpp-64 over the SAME lambda interval with the same
+    handoff noise (an earlier mis-matched-grid 'truth' made dpmpp read 2x
+    WORSE than ddim — the grids' t_start differ across step counts, so the
+    reference must share the handoff exactly)."""
+    lat = jnp.asarray(rng.standard_normal((2, 4, 4, 4)) * 0.2, jnp.float32)
+    emb = pipe.uncond_embeddings(1)
+
+    def run(sampler, k=None):
+        return np.asarray(pipe.i2i_scan(
+            pipe.unet_params, lat, emb, guidance_scale=0.0, start_step=40,
+            num_inference_steps=50, noise_rng=jax.random.PRNGKey(0),
+            sampler=sampler, solver_steps=k), np.float64)
+
+    l2 = lambda a: np.sqrt((a ** 2).sum())
+    truth = run("dpmpp", 64)
+    ddim10, dpmpp5 = run("ddim"), run("dpmpp", 5)
+    err5 = l2(dpmpp5 - truth) / l2(truth)
+    err10 = l2(ddim10 - truth) / l2(truth)
+    # measured on this fixture: 0.039 vs 0.101 (2.6x) — assert the ordering
+    # with margin, not the exact values
+    assert err5 < err10, (err5, err10)
+    # and the absolute drift between the two shipped tails stays bounded
+    # (measured 0.113; dominated by DDIM-10's own truncation error)
+    assert l2(dpmpp5 - ddim10) / l2(ddim10) < 0.25
+
+
+def test_dpmpp_final_sigma_zero_endpoint():
+    """final_sigma_zero=True (default): the last transition emits the exact
+    x0 prediction — matching DDIMSchedule's set_alpha_to_one endpoint —
+    while the legacy mode retains the trained schedule's sigma(0)~0.029."""
+    from sd_video_gen_tpu.diffusion.schedulers import DPMSolverPPSchedule
+    new = DPMSolverPPSchedule(4, 180.0)
+    old = DPMSolverPPSchedule(4, 180.0, final_sigma_zero=False)
+    assert float(new.sigma[-1]) == 0.0 and float(new.alpha[-1]) == 1.0
+    assert float(old.sigma[-1]) > 0.02
+    # eps-model eval levels are identical — same UNet cost either way
+    np.testing.assert_allclose(new.timesteps, old.timesteps)
+    np.testing.assert_allclose(np.asarray(new.sigma[:-1]),
+                               np.asarray(old.sigma[:-1]))
+    # final transition: x_next = x0 exactly, regardless of x
+    x = np.asarray([2.0, -1.0], np.float32)
+    eps = np.asarray([0.3, 0.1], np.float32)
+    x0 = (x - float(new.sigma[3]) * eps) / float(new.alpha[3])
+    nxt, _ = new.step(jnp.asarray(eps), 3, jnp.asarray(x),
+                      jnp.zeros_like(jnp.asarray(x)))
+    np.testing.assert_allclose(np.asarray(nxt), x0, rtol=1e-6)

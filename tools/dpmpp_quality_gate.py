@@ -1,0 +1,212 @@
+"""Video-level quality gate for the dpmpp fast-sampler tail (VERDICT r4 #3).
+
+The DPM-Solver++(2M) serving claims (17.6x/20.1x headline points, 2.35x
+full generation) rested on two ANALYTIC problems (tests/test_dpmpp.py).
+This tool adds video-level evidence on the actual pipeline, two phases:
+
+Phase A — self-consistent FVD (the reference's own quality-control
+protocol: random-init I3D featurizer, trained ball model, identical
+protocol for every arm; reference counterpart prediction/predict_fvd.py +
+utils/sd_utils.py:97-126 is the tail being swapped):
+
+    arm 0: trained model, no refinement        (context)
+    arm 1: --denoise, DDIM-10 tail             (parity path)
+    arm 2: --denoise, dpmpp solver_steps=5     (shipped default)
+    arm 3: --denoise, dpmpp solver_steps=4     (max-throughput point)
+
+  Gate: each dpmpp arm's FVD within --fvd_tol (default 15%) of the DDIM
+  arm's, and pred-MSE within the same tolerance — i.e. swapping the tail
+  does not move the output distribution at the protocol's resolution.
+
+Phase B — per-frame drift at REAL pipeline shapes (512px SD topology,
+(B,64,64,4) latents, on chip): relative L2 of dpmpp-5/-4 vs (a) a
+dpmpp-64 fine-step truth over the SAME lambda interval and handoff
+noise, (b) the DDIM-10 tail itself; plus the pixel-space drift after VAE
+decode in uint8 units. Weights are random-init (no SD weights on this
+machine) — drift measures SOLVER agreement on the real compute graph,
+not perceptual quality; the real-weight gate stays loud in BASELINE.md.
+
+Reuses the artifacts of tools/quality_modes.py (--scratch, default
+/tmp/qual5: trained ar model + ball tree + config) when present; trains
+the ar arm first if not. Parent never initializes a backend (children own
+the chip); phase B runs in a subprocess for the same reason.
+
+Run: python tools/dpmpp_quality_gate.py [--scratch /tmp/qual5]
+     [--skip_fvd] [--skip_drift] [--fvd_tol 0.15]
+Emits markdown + JSON; exits 1 if a gate fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DRIFT_CHILD = r"""
+import json, sys
+sys.path.insert(0, %(repo)r)
+from sd_video_gen_tpu.utils.backend import init_backend_or_die
+init_backend_or_die(tool="dpmpp_gate_drift")
+import numpy as np, jax, jax.numpy as jnp
+from sd_video_gen_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+import warnings
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore")
+    from sd_video_gen_tpu.diffusion.sd import SDPipeline
+    pipe = SDPipeline(frame_size=512)  # f32: isolate solver error from bf16
+rng = np.random.default_rng(0)
+lat = jnp.asarray(rng.standard_normal((%(batch)d, 64, 64, 4)) * 0.5,
+                  jnp.float32)
+emb = jnp.concatenate([jnp.repeat(pipe.uncond_embeddings(1)[:1],
+                                  %(batch)d, 0)] * 2, 0)
+
+def run(sampler, k=None):
+    return pipe.i2i_scan(pipe.unet_params, lat, emb, guidance_scale=0.0,
+                         start_step=40, num_inference_steps=50,
+                         noise_rng=jax.random.PRNGKey(0), sampler=sampler,
+                         solver_steps=k)
+
+run_j = jax.jit(run, static_argnums=(0, 1))
+l2 = lambda a: float(np.sqrt((np.asarray(a, np.float64) ** 2).sum()))
+truth = np.asarray(run_j("dpmpp", 64))
+ddim10 = np.asarray(run_j("ddim"))
+out = {"err_ddim10_vs_truth": l2(ddim10 - truth) / l2(truth)}
+dec = jax.jit(lambda z: pipe.vae.model.apply(
+    pipe.vae.params, z, method=type(pipe.vae.model).decode))
+img_ddim = np.asarray(dec(jnp.asarray(ddim10)))
+for k in (5, 4):
+    d = np.asarray(run_j("dpmpp", k))
+    out[f"err_dpmpp{k}_vs_truth"] = l2(d - truth) / l2(truth)
+    out[f"drift_dpmpp{k}_vs_ddim10"] = l2(d - ddim10) / l2(ddim10)
+    img = np.asarray(dec(jnp.asarray(d)))
+    out[f"pixel_drift_dpmpp{k}_u8"] = float(
+        np.abs(img - img_ddim).mean() * 127.5)
+print("DRIFT_JSON " + json.dumps(out), flush=True)
+"""
+
+
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}".rstrip(":")
+    ax = "/root/.axon_site"
+    if os.path.isdir(ax) and ax not in env["PYTHONPATH"]:
+        env["PYTHONPATH"] += f":{ax}"
+    return env
+
+
+def run_fvd_arms(scratch: str, timeout_s: float):
+    sys.path.insert(0, REPO)
+    from tools.quality_modes import parse_result
+
+    wd = os.path.join(scratch, "ar")
+    if not os.path.isdir(os.path.join(wd, "checkpoints")):
+        raise SystemExit(
+            f"no trained ar model under {wd} — run tools/quality_modes.py "
+            f"--modes ar first (this gate reuses its artifacts)")
+    ball = os.path.join(scratch, "ball")
+    common = ["--dataset", "ball", "--folder", ball, "--config", "q5",
+              "--config_dir", "configs", "--train_mode", "ar",
+              "--debug", "True", "--seed", "0", "--pred_frames", "4",
+              "--max_clips", "14", "--batch_clips", "7"]
+    arms = [("none", []),
+            ("ddim10", ["--denoise", "True", "--denoise_start_step", "40"]),
+            ("dpmpp5", ["--denoise", "True", "--denoise_start_step", "40",
+                        "--denoise_sampler", "dpmpp",
+                        "--denoise_solver_steps", "5"]),
+            ("dpmpp4", ["--denoise", "True", "--denoise_start_step", "40",
+                        "--denoise_sampler", "dpmpp",
+                        "--denoise_solver_steps", "4"])]
+    results = {}
+    for name, extra in arms:
+        log = os.path.join(wd, f"gate_{name}.log")
+        open(log, "w").close()
+        with open(log, "a") as lf:
+            rc = subprocess.run(
+                [sys.executable, "-m", "evaluation.predict_fvd",
+                 *common, *extra],
+                cwd=wd, env=_env(), stdout=lf, stderr=subprocess.STDOUT,
+                timeout=timeout_s).returncode
+        if rc != 0:
+            raise RuntimeError(f"arm {name} rc={rc}; see {log}:\n"
+                               + open(log).read()[-1200:])
+        n, fvd, mse = parse_result(log)
+        results[name] = {"clips": n, "fvd": fvd, "mse": mse}
+        print(f"[{name}] FVD {fvd:.3f}  MSE {mse:.5f} ({n} clips)",
+              flush=True)
+    return results
+
+
+def run_drift(batch: int, timeout_s: float):
+    code = DRIFT_CHILD % {"repo": REPO, "batch": batch}
+    proc = subprocess.run([sys.executable, "-c", code], env=_env(),
+                          capture_output=True, text=True, timeout=timeout_s)
+    if proc.returncode != 0:
+        raise RuntimeError(f"drift child rc={proc.returncode}:\n"
+                           + (proc.stdout + proc.stderr)[-1500:])
+    for line in proc.stdout.splitlines():
+        if line.startswith("DRIFT_JSON "):
+            return json.loads(line.split(" ", 1)[1])
+    raise RuntimeError("no DRIFT_JSON in child output:\n"
+                       + proc.stdout[-1500:])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scratch", default="/tmp/qual5",
+                    help="tools/quality_modes.py scratch dir to reuse")
+    ap.add_argument("--fvd_tol", type=float, default=0.15,
+                    help="max relative FVD/MSE gap dpmpp vs ddim")
+    ap.add_argument("--drift_batch", type=int, default=8)
+    ap.add_argument("--skip_fvd", action="store_true")
+    ap.add_argument("--skip_drift", action="store_true")
+    ap.add_argument("--timeout_s", type=float, default=3600)
+    args = ap.parse_args(argv)
+
+    report = {}
+    ok = True
+    if not args.skip_fvd:
+        fvd = run_fvd_arms(args.scratch, args.timeout_s)
+        report["fvd_arms"] = fvd
+        ref = fvd["ddim10"]
+        for arm in ("dpmpp5", "dpmpp4"):
+            d_fvd = abs(fvd[arm]["fvd"] - ref["fvd"]) / ref["fvd"]
+            d_mse = abs(fvd[arm]["mse"] - ref["mse"]) / ref["mse"]
+            passed = d_fvd <= args.fvd_tol and d_mse <= args.fvd_tol
+            report[f"gate_{arm}"] = {"rel_fvd_gap": round(d_fvd, 4),
+                                     "rel_mse_gap": round(d_mse, 4),
+                                     "pass": passed}
+            ok &= passed
+        print("\n| arm | FVD | pred MSE | rel FVD gap vs ddim10 |")
+        print("|---|---|---|---|")
+        for name, e in fvd.items():
+            gap = ("—" if name in ("none", "ddim10") else
+                   f"{report[f'gate_{name}']['rel_fvd_gap']:.3f}")
+            print(f"| {name} | {e['fvd']:.3f} | {e['mse']:.5f} | {gap} |")
+
+    if not args.skip_drift:
+        drift = run_drift(args.drift_batch, args.timeout_s)
+        report["drift_512px"] = {k: round(v, 5) for k, v in drift.items()}
+        # solver-agreement gate at real shapes: dpmpp must sit at least as
+        # close to the fine-step limit as the tail it replaces
+        for k in (5, 4):
+            ok &= drift[f"err_dpmpp{k}_vs_truth"] <= \
+                drift["err_ddim10_vs_truth"] * 1.2
+        print("\ndrift @512px (random-init weights, f32):")
+        for k, v in drift.items():
+            print(f"  {k}: {v:.5f}")
+
+    report["pass"] = ok
+    out = os.path.join(args.scratch, "dpmpp_gate.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"\nwrote {out}  pass={ok}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
