@@ -241,8 +241,13 @@ def main(argv=None):
               f"| {e['naive']['mse']:.5f} "
               f"| {'YES' if e['pass'] else 'NO'} |")
     out = os.path.join(args.scratch, "quality_modes.json")
+    merged = {}
+    if os.path.exists(out):  # partial runs per --modes accumulate
+        with open(out) as f:
+            merged = json.load(f)
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(f"\nwrote {out}")
     return 0 if all(e["pass"] for e in results.values()) else 1
 
