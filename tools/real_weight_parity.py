@@ -210,9 +210,44 @@ class Report:
             "for a prediction-vs-prediction pixel diff",
             "",
         ]
+        lines += self._pins_section()
         with open(path, "w") as f:
             f.write("\n".join(lines))
         print(f"report written: {path}")
+
+    @staticmethod
+    def _pins_section():
+        """Exact expected artifact identities/hashes (VERDICT r4 #8)."""
+        try:
+            with open(PINS_PATH) as f:
+                pins = json.load(f)
+        except OSError:
+            return []
+        lines = [
+            "## Pinned artifact identities (`--fetch` path)",
+            "",
+            "`real_weight_parity.py --fetch` resolves missing artifacts "
+            "from the pinned sources below (tools/artifact_pins.json) and "
+            "hard-fails on any sha256 mismatch. `sha256: (unpinned)` means "
+            "this build environment has zero network egress so no artifact "
+            "has ever been downloadable here; the FIRST online run must use "
+            "`--fetch --record_pins`, review the recorded hashes, and "
+            "commit the pins file.",
+            "",
+            "| artifact | source | file @ revision | sha256 |",
+            "|---|---|---|---|",
+        ]
+        for name, pin in pins.items():
+            if name.startswith("_"):
+                continue
+            src = pin.get("repo") or f"${pin.get('url_env', '?')}"
+            digest = pin.get("sha256")
+            lines.append(
+                f"| {name} | {src} | {pin.get('filename')} @ "
+                f"{pin.get('revision') or '—'} | "
+                f"{digest[:16] + '…' if digest else '(unpinned)'} |")
+        lines.append("")
+        return lines
 
 
 def _to_numpy_sd(sd):
