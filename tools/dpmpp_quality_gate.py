@@ -25,8 +25,10 @@ utils/sd_utils.py:97-126 is the tail being swapped):
 Phase B — per-frame drift at REAL pipeline shapes (512px SD topology,
 (B,64,64,4) latents, on chip): relative L2 of dpmpp-5/-4 vs (a) a
 dpmpp-64 fine-step truth over the SAME lambda interval and handoff
-noise, (b) the DDIM-10 tail itself; plus the pixel-space drift after VAE
-decode in uint8 units. Weights are random-init (no SD weights on this
+noise, (b) a DDIM-181 fine-step truth on the 1000-step grid (same
+handoff t=180 — the parity tail's own continuum, including its x0
+clipping semantics), (c) the DDIM-10 tail itself; plus the pixel-space
+drift after VAE decode in uint8 units. Weights are random-init (no SD weights on this
 machine) — drift measures SOLVER agreement on the real compute graph,
 not perceptual quality; the real-weight gate stays loud in BASELINE.md.
 
@@ -73,18 +75,29 @@ emb = jnp.concatenate([jnp.repeat(pipe.uncond_embeddings(1)[:1],
 # ~3.4GB f32 UNet+VAE trees into the program as constants bloats the
 # lowered payload past what the remote-compile tunnel tolerates (observed
 # broken pipe) and defeats executable reuse across arms.
-def run(params, latents, embeds, sampler, k=None):
+def run(params, latents, embeds, sampler, k=None, start=40, n_steps=50):
     return pipe.i2i_scan(params, latents, embeds, guidance_scale=0.0,
-                         start_step=40, num_inference_steps=50,
+                         start_step=start, num_inference_steps=n_steps,
                          noise_rng=jax.random.PRNGKey(0), sampler=sampler,
                          solver_steps=k)
 
-run_j = jax.jit(run, static_argnums=(3, 4))
+run_j = jax.jit(run, static_argnums=(3, 4, 5, 6))
 l2 = lambda a: float(np.sqrt((np.asarray(a, np.float64) ** 2).sum()))
 up = jax.device_put(pipe.unet_params)
 truth = np.asarray(run_j(up, lat, emb, "dpmpp", 64))
 ddim10 = np.asarray(run_j(up, lat, emb, "ddim"))
-out = {"err_ddim10_vs_truth": l2(ddim10 - truth) / l2(truth)}
+# Adversarial cross-family truth: DDIM itself at 181 first-order steps
+# over the SAME interval — the 1000-step grid's index 819 hands off at
+# t=180, exactly the 50-step grid's index 40 (both alpha_cumprod[180]),
+# so the noising level is identical. This is the fine-step limit of the
+# parity tail UNDER ITS OWN semantics (per-step x0 clipping + exact-x0
+# endpoint), decomposing |ddim10 - dpmpp_truth| into DDIM's truncation
+# error (ddim10 vs ddim_fine) and the clipping/endpoint family gap
+# (ddim_fine vs dpmpp_truth).
+ddim_fine = np.asarray(run_j(up, lat, emb, "ddim", None, 819, 1000))
+out = {"err_ddim10_vs_truth": l2(ddim10 - truth) / l2(truth),
+       "err_ddim10_vs_ddim_fine": l2(ddim10 - ddim_fine) / l2(ddim_fine),
+       "family_gap_ddim_fine_vs_truth": l2(ddim_fine - truth) / l2(truth)}
 dec = jax.jit(lambda p, z: pipe.vae.model.apply(
     p, z, method=type(pipe.vae.model).decode))
 vp = jax.device_put(pipe.vae.params)
@@ -92,6 +105,7 @@ img_ddim = np.asarray(dec(vp, jnp.asarray(ddim10)))
 for k in (5, 4):
     d = np.asarray(run_j(up, lat, emb, "dpmpp", k))
     out[f"err_dpmpp{k}_vs_truth"] = l2(d - truth) / l2(truth)
+    out[f"err_dpmpp{k}_vs_ddim_fine"] = l2(d - ddim_fine) / l2(ddim_fine)
     out[f"drift_dpmpp{k}_vs_ddim10"] = l2(d - ddim10) / l2(ddim10)
     img = np.asarray(dec(vp, jnp.asarray(d)))
     out[f"pixel_drift_dpmpp{k}_u8"] = float(
@@ -221,6 +235,8 @@ def main(argv=None):
             print(f"  {k}: {v:.5f}")
 
     report["pass"] = ok
+    os.makedirs(args.scratch, exist_ok=True)  # drift-only runs need no
+    # trained artifacts, so the scratch dir may not exist yet
     out = os.path.join(args.scratch, "dpmpp_gate.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
